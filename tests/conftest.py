@@ -1,0 +1,22 @@
+"""Test harness: force an 8-device virtual CPU mesh before JAX is imported.
+
+This is the TPU analogue of "multi-node without a cluster"
+(SURVEY.md §4 point 4): all sharding/collective tests run on
+xla_force_host_platform_device_count=8.
+"""
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)
