@@ -1,0 +1,222 @@
+"""Cosine-similarity scoring kernels (jnp reference implementations).
+
+Replaces all three reference compute backends (naive loops
+compute/cosine.go:13-125, BLAS Dgemm compute/cosine_gonum.go:36-113, and the
+Gorgonia graph compute/cosine_gorgonia.go:150-219) with one JAX path. The
+shape-specialized TapeMachine cache of the Gorgonia backend
+(compute/cosine_gorgonia.go:107-145) maps onto `jax.jit` shape
+specialization for free.
+
+Scoring identity (see quant/layout.py): for corpus vector v = offset + scale*c
+with centered int8 codes c and an L2-normalized query x,
+
+    cos(x, v) = (scale * <x, c> + offset * sum(x)) * inv_norm
+
+The corpus-side contraction <x, c> runs with an int8 operand on the MXU; the
+query is symmetrically quantized to int8 (per-row scale max|x|/127) so the
+matmul is a native s8 x s8 -> s32 MXU op. The offset term uses the exact f32
+query sum, so query quantization only perturbs the <x, c> term by ~0.4%.
+
+Semantics parity notes:
+  * zero vectors stay zero under normalization and score 0
+    (reference: compute/cosine.go:138-149).
+  * padded slots are masked to -inf so they can never enter top-k; the
+    reference has no padding (dynamic SQL batches).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..quant.layout import PackedVectors
+
+NEG_INF = jnp.float32(-jnp.inf)
+
+
+def l2_normalize(x: jax.Array, axis: int = -1) -> jax.Array:
+    """L2-normalize; zero vectors are left unchanged (reference semantics)."""
+    norm = jnp.linalg.norm(x, axis=axis, keepdims=True)
+    return jnp.where(norm == 0, x, x / jnp.where(norm == 0, 1, norm))
+
+
+def quantize_queries(q: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Symmetric int8 quantization of (already normalized) query rows.
+
+    Returns (codes int8[B,D], scale f32[B], qsum f32[B]) with
+    q ~= scale * codes and qsum = exact sum of q (f32).
+    """
+    q = q.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(q), axis=-1)
+    scale = jnp.where(absmax == 0, 1, absmax / 127.0)
+    codes = jnp.clip(jnp.round(q / scale[..., None]), -127, 127).astype(jnp.int8)
+    return codes, scale.astype(jnp.float32), jnp.sum(q, axis=-1)
+
+
+def scores_int8(
+    q_codes: jax.Array,
+    q_scale: jax.Array,
+    q_sum: jax.Array,
+    corpus: PackedVectors,
+) -> jax.Array:
+    """Cosine scores [B, N] from int8 query codes against a packed corpus."""
+    # s8 x s8 -> s32 on the MXU.
+    dots = jax.lax.dot_general(
+        q_codes,
+        corpus.codes,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    inner = (q_scale[:, None] * corpus.scale[None, :]) * dots
+    inner = inner + q_sum[:, None] * corpus.offset[None, :]
+    return inner * corpus.inv_norm[None, :]
+
+
+def scores_packed(queries: jax.Array, corpus: PackedVectors) -> jax.Array:
+    """Cosine scores [B, N] for f32 queries against a packed corpus."""
+    qn = l2_normalize(queries.astype(jnp.float32))
+    q_codes, q_scale, q_sum = quantize_queries(qn)
+    return scores_int8(q_codes, q_scale, q_sum, corpus)
+
+
+def scores_f32(queries: jax.Array, corpus: jax.Array) -> jax.Array:
+    """Exact f32 oracle: normalize both sides, dense matmul [B, N].
+
+    Uses HIGHEST matmul precision (full f32, not bf16 passes) — this is the
+    recall oracle, not the serving path.
+    """
+    qn = l2_normalize(queries.astype(jnp.float32))
+    cn = l2_normalize(corpus.astype(jnp.float32))
+    return jnp.dot(
+        qn,
+        cn.T,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def mask_invalid(scores: jax.Array, n_valid) -> jax.Array:
+    """Mask scores at column index >= n_valid to -inf (padding)."""
+    n = scores.shape[-1]
+    col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, scores.ndim - 1)
+    return jnp.where(col < n_valid, scores, NEG_INF)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def topk(scores: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
+    return jax.lax.top_k(scores, k)
+
+
+def merge_topk(
+    scores_a: jax.Array,
+    idx_a: jax.Array,
+    scores_b: jax.Array,
+    idx_b: jax.Array,
+    k: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Merge two candidate sets [B, ka], [B, kb] into top-k of the union."""
+    s = jnp.concatenate([scores_a, scores_b], axis=-1)
+    i = jnp.concatenate([idx_a, idx_b], axis=-1)
+    best, pos = jax.lax.top_k(s, k)
+    return best, jnp.take_along_axis(i, pos, axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "chunk"))
+def scan_topk(
+    queries: jax.Array,
+    corpus: PackedVectors,
+    n_valid: jax.Array,
+    k: int,
+    chunk: int = 65_536,
+) -> tuple[jax.Array, jax.Array]:
+    """Memory-bounded flat top-k over a large packed corpus.
+
+    Processes the corpus in `chunk`-row tiles under `lax.scan`, carrying a
+    [B, k] running best set, so the [B, N] score matrix is never
+    materialized in HBM. This is the XLA-level replacement for the
+    reference's 1000-row SQL FindInBatches hot loop
+    (server/search.go:241-273); the Pallas kernel in
+    kernels/pallas_scan.py fuses the same computation tighter.
+    """
+    n = corpus.n
+    b = queries.shape[0]
+    qn = l2_normalize(queries.astype(jnp.float32))
+    q_codes, q_scale, q_sum = quantize_queries(qn)
+
+    if n == 0:
+        return (
+            jnp.full((b, k), NEG_INF),
+            jnp.zeros((b, k), jnp.int32),
+        )
+
+    if n <= chunk:
+        scores = scores_int8(q_codes, q_scale, q_sum, corpus)
+        scores = mask_invalid(scores, n_valid)
+        s, i = jax.lax.top_k(scores, min(k, n))
+        if k > n:
+            s = jnp.pad(s, ((0, 0), (0, k - n)), constant_values=NEG_INF)
+            i = jnp.pad(i, ((0, 0), (0, k - n)))
+        return s, i
+
+    # Pad N up to a chunk multiple; padded rows masked by n_valid.
+    n_pad = (-n) % chunk
+    padded = PackedVectors(
+        codes=jnp.pad(corpus.codes, ((0, n_pad), (0, 0))),
+        scale=jnp.pad(corpus.scale, (0, n_pad)),
+        offset=jnp.pad(corpus.offset, (0, n_pad)),
+        inv_norm=jnp.pad(corpus.inv_norm, (0, n_pad)),
+    )
+    n_chunks = (n + n_pad) // chunk
+    tiles = jax.tree.map(
+        lambda a: a.reshape((n_chunks, chunk) + a.shape[1:]), padded
+    )
+
+    init = (
+        jnp.full((b, k), NEG_INF),
+        jnp.zeros((b, k), jnp.int32),
+    )
+
+    def body(carry, xs):
+        tile, tile_idx = xs
+        best_s, best_i = carry
+        s = scores_int8(q_codes, q_scale, q_sum, tile)
+        base = tile_idx * chunk
+        col = base + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < n_valid, s, NEG_INF)
+        cand_s, pos = jax.lax.top_k(s, min(k, chunk))
+        cand_i = base + pos
+        new_s, new_i = merge_topk(best_s, best_i, cand_s, cand_i, k)
+        return (new_s, new_i), None
+
+    (best_s, best_i), _ = jax.lax.scan(
+        body, init, (tiles, jnp.arange(n_chunks, dtype=jnp.int32))
+    )
+    return best_s, best_i
+
+
+def nearest_centroid(
+    vectors: PackedVectors, centroids_f32: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """Per-vector (best_similarity, argmax) over centroid rows.
+
+    Matrix x matrix assignment matching the reference's
+    matrixContainer.MatrixCosineSimilarity (compute/cosine.go:70-125):
+    both sides L2-normalized, per-data-row argmax over centroids.
+
+    Centroids stay f32 (there are few); the data side uses the packed
+    affine identity, contracted as int8 x bf16 per-chunk.
+    """
+    cn = l2_normalize(centroids_f32.astype(jnp.float32))  # [K, D]
+    c_sums = jnp.sum(cn, axis=-1)  # [K]
+    # <v, cn_k> = offset * sum(cn_k) + scale * <c, cn_k>
+    dots = jax.lax.dot_general(
+        vectors.codes.astype(jnp.bfloat16),
+        cn.astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [N, K]
+    inner = vectors.offset[:, None] * c_sums[None, :] + vectors.scale[:, None] * dots
+    sims = inner * vectors.inv_norm[:, None]
+    best = jnp.argmax(sims, axis=-1)
+    return jnp.max(sims, axis=-1), best.astype(jnp.int32)
