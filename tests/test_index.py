@@ -1,0 +1,193 @@
+"""Flat and IVF index behaviour: append/grow, tombstones, probe/scan
+recall, streaming inserts with spill, compaction."""
+import numpy as np
+import pytest
+
+from vectorsearch_tpu import constants
+from vectorsearch_tpu.index import FlatIndex, IVFIndex
+from vectorsearch_tpu.quant import layout
+
+
+@pytest.fixture(autouse=True)
+def small_buckets(monkeypatch):
+    # shrink size classes so tests exercise grow/spill without huge arrays
+    monkeypatch.setattr(constants, "BUCKET_ROUND", 64)
+
+
+def brute_force(queries, corpus_deq, ids):
+    def norm(x):
+        n = np.linalg.norm(x, axis=-1, keepdims=True)
+        return np.where(n == 0, x, x / np.where(n == 0, 1, n))
+    scores = norm(queries) @ norm(corpus_deq).T
+    order = np.argsort(-scores, axis=-1)
+    return scores, ids[order]
+
+
+def make_corpus(n, d=64, seed=0):
+    rng = np.random.default_rng(seed)
+    v = rng.normal(size=(n, d)).astype(np.float32)
+    return v, layout.pack_float(v), np.arange(1, n + 1, dtype=np.int64)
+
+
+class TestFlat:
+    def test_search_matches_bruteforce(self):
+        v, packed, ids = make_corpus(500)
+        idx = FlatIndex.from_packed(packed, ids)
+        q = np.random.default_rng(1).normal(size=(4, 64)).astype(np.float32)
+        scores, got_ids = idx.search(q, k=10)
+        _, want_ids = brute_force(q, layout.unpack(packed), ids)
+        for row_got, row_want in zip(got_ids, want_ids[:, :10]):
+            assert len(set(row_got) & set(row_want)) >= 9  # query-quant ties
+
+    def test_append_and_grow(self):
+        v, packed, ids = make_corpus(100)
+        idx = FlatIndex.create(64, capacity=1)
+        for start in range(0, 100, 30):
+            idx = idx.append(
+                layout.take(packed, np.arange(start, min(start + 30, 100))),
+                ids[start : min(start + 30, 100)],
+            )
+        assert idx.n == 100 and idx.live == 100
+        assert idx.capacity >= 100
+        q = layout.unpack(packed)[:1]
+        scores, got = idx.search(q, k=1)
+        assert got[0, 0] == ids[0]
+
+    def test_remove_and_compact(self):
+        v, packed, ids = make_corpus(50)
+        idx = FlatIndex.from_packed(packed, ids)
+        q = layout.unpack(packed)[:1]
+        _, got = idx.search(q, k=1)
+        assert got[0, 0] == 1
+        idx = idx.remove_ids(np.array([1]))
+        assert idx.live == 49
+        _, got = idx.search(q, k=1)
+        assert got[0, 0] != 1
+        idx2 = idx.compact()
+        assert idx2.n == 49 and idx2.live == 49
+        _, got2 = idx2.search(q, k=1)
+        assert got2[0, 0] == got[0, 0]
+
+    def test_empty_search(self):
+        idx = FlatIndex.create(64)
+        s, i = idx.search(np.ones((1, 64), np.float32), k=5)
+        assert (i == -1).all() and np.isneginf(s).all()
+
+    def test_fewer_than_k(self):
+        v, packed, ids = make_corpus(3)
+        idx = FlatIndex.from_packed(packed, ids)
+        s, i = idx.search(np.ones((1, 64), np.float32), k=10)
+        assert (i[0, :3] != -1).all()
+        assert (i[0, 3:] == -1).all()
+
+
+def make_clustered(n_per=40, k=8, d=64, seed=2):
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(k, d)).astype(np.float32) * 5
+    pts = (centers[:, None, :] + rng.normal(size=(k, n_per, d))).astype(np.float32)
+    v = pts.reshape(-1, d)
+    return v, centers
+
+
+class TestIVF:
+    def test_full_probe_matches_flat(self):
+        v, centers = make_clustered()
+        packed = layout.pack_float(v)
+        ids = np.arange(1, len(v) + 1, dtype=np.int64)
+        ivf = IVFIndex.build(packed, ids, centers)
+        flat = FlatIndex.from_packed(packed, ids)
+        q = np.random.default_rng(3).normal(size=(5, 64)).astype(np.float32)
+        s1, i1 = ivf.search(q, k=10, nprobe=-1)
+        s2, i2 = flat.search(q, k=10)
+        # same candidate sets (scoring identical up to bf16-vs-int8 noise)
+        for a, b in zip(i1, i2):
+            assert len(set(a) & set(b)) >= 9
+
+    def test_nprobe1_finds_nearest_in_own_cluster(self):
+        v, centers = make_clustered()
+        packed = layout.pack_float(v)
+        ids = np.arange(1, len(v) + 1, dtype=np.int64)
+        ivf = IVFIndex.build(packed, ids, centers)
+        # query near a data point -> nprobe=1 must find it
+        q = v[:6] + 0.01
+        s, i = ivf.search(q, k=1, nprobe=1)
+        assert (i[:, 0] == ids[:6]).all()
+
+    def test_insert_streams_into_buckets(self):
+        v, centers = make_clustered()
+        packed = layout.pack_float(v)
+        ids = np.arange(1, len(v) + 1, dtype=np.int64)
+        ivf = IVFIndex.build(packed, ids, centers)
+        new = np.asarray(centers[2:3] + 0.05, np.float32)
+        ivf2 = ivf.insert(layout.pack_float(new), np.array([9999]))
+        assert ivf2.n_live == ivf.n_live + 1
+        s, i = ivf2.search(new, k=1, nprobe=1)
+        assert i[0, 0] == 9999
+
+    def test_insert_overflow_goes_to_spill(self, monkeypatch):
+        v, centers = make_clustered(n_per=10, k=2)
+        packed = layout.pack_float(v)
+        ids = np.arange(1, len(v) + 1, dtype=np.int64)
+        ivf = IVFIndex.build(packed, ids, centers)
+        cap = ivf.cap
+        # flood cluster 0 to capacity, then insert one distinctive vector
+        # (rotated ~20 deg off the centroid: still assigns to cluster 0 but
+        # clearly separated from the flood) that must land in the spill.
+        rng = np.random.default_rng(5)
+        flood = (centers[0] + rng.normal(size=(cap + 4, 64)) * 0.1).astype(np.float32)
+        flood_ids = np.arange(10_000, 10_000 + cap + 4, dtype=np.int64)
+        ivf = ivf.insert(layout.pack_float(flood), flood_ids)
+        assert ivf.spill.live > 0
+        c0 = centers[0]
+        r = rng.normal(size=64).astype(np.float32)
+        ortho = r - (r @ c0) / (c0 @ c0) * c0
+        ortho *= 0.36 * np.linalg.norm(c0) / np.linalg.norm(ortho)
+        distinct = (c0 + ortho).astype(np.float32)
+        ivf = ivf.insert(layout.pack_float(distinct[None]), np.array([42_000]))
+        s, i = ivf.search(distinct[None], k=1, nprobe=1)
+        assert i[0, 0] == 42_000
+
+    def test_remove_ids(self):
+        v, centers = make_clustered()
+        packed = layout.pack_float(v)
+        ids = np.arange(1, len(v) + 1, dtype=np.int64)
+        ivf = IVFIndex.build(packed, ids, centers)
+        q = v[:1] + 0.001
+        _, i = ivf.search(q, k=1, nprobe=-1)
+        assert i[0, 0] == 1
+        ivf = ivf.remove_ids(np.array([1]))
+        _, i = ivf.search(q, k=1, nprobe=-1)
+        assert i[0, 0] != 1
+
+    def test_compact_drains_spill(self, monkeypatch):
+        v, centers = make_clustered(n_per=10, k=2)
+        packed = layout.pack_float(v)
+        ids = np.arange(1, len(v) + 1, dtype=np.int64)
+        ivf = IVFIndex.build(packed, ids, centers)
+        cap = ivf.cap
+        rng = np.random.default_rng(6)
+        extra = (centers[0] + rng.normal(size=(cap + 3, 64)) * 0.1).astype(np.float32)
+        extra_ids = np.arange(20_000, 20_000 + cap + 3, dtype=np.int64)
+        ivf = ivf.insert(layout.pack_float(extra), extra_ids)
+        assert ivf.spill.live > 0
+        c0 = centers[0]
+        r = rng.normal(size=64).astype(np.float32)
+        ortho = r - (r @ c0) / (c0 @ c0) * c0
+        ortho *= 0.36 * np.linalg.norm(c0) / np.linalg.norm(ortho)
+        distinct = (c0 + ortho).astype(np.float32)
+        ivf = ivf.insert(layout.pack_float(distinct[None]), np.array([43_000]))
+        before = ivf.n_live
+        ivf2 = ivf.compact()
+        assert ivf2.spill.live == 0
+        assert ivf2.n_live == before
+        s, i = ivf2.search(distinct[None], k=1, nprobe=1)
+        assert i[0, 0] == 43_000
+
+    def test_export_live_roundtrip(self):
+        v, centers = make_clustered(n_per=5, k=3)
+        packed = layout.pack_float(v)
+        ids = np.arange(1, len(v) + 1, dtype=np.int64)
+        ivf = IVFIndex.build(packed, ids, centers)
+        out_packed, out_ids = ivf.export_live()
+        assert sorted(out_ids) == sorted(ids)
+        assert out_packed.codes.shape == packed.codes.shape

@@ -1,0 +1,224 @@
+"""HBM-resident flat (exhaustive) index with append and tombstones.
+
+Replaces the reference's SQL-batch exhaustive scan (server/search.go:241-273
+with nprobe=-1, plus the default compute backends): the corpus lives on
+device as a capacity-padded PackedVectors, searches are one fused scan, and
+appends are dynamic-update-slices into donated buffers — no host round trip
+per batch.
+
+Functional style: mutating operations return a new FlatIndex; the engine
+swaps the new version in atomically while in-flight searches keep reading
+the old snapshot (so mutation kernels do NOT donate their inputs). The
+reference's analogue is the 5s centroid cache + DB transaction
+(SURVEY.md §5 "checkpoint/resume").
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, replace
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants
+from ..kernels import cosine
+from ..quant.layout import PackedVectors
+
+
+def round_capacity(n: int) -> int:
+    cap = constants.BUCKET_ROUND
+    while cap < n:
+        cap *= 2
+    return cap
+
+
+@jax.jit
+def _write_block(
+    packed: PackedVectors,
+    mask: jax.Array,
+    update: PackedVectors,
+    upd_mask: jax.Array,
+    offset: jax.Array,
+):
+    """Write a contiguous block of rows at `offset`.
+
+    NOT donated: older index snapshots stay readable (serving swaps index
+    versions atomically while in-flight searches may still hold the old
+    one). An explicitly pooled in-place variant is a later optimization.
+    """
+    return (
+        PackedVectors(
+            codes=jax.lax.dynamic_update_slice(
+                packed.codes, update.codes, (offset, 0)
+            ),
+            scale=jax.lax.dynamic_update_slice(packed.scale, update.scale, (offset,)),
+            offset=jax.lax.dynamic_update_slice(
+                packed.offset, update.offset, (offset,)
+            ),
+            inv_norm=jax.lax.dynamic_update_slice(
+                packed.inv_norm, update.inv_norm, (offset,)
+            ),
+        ),
+        jax.lax.dynamic_update_slice(mask, upd_mask, (offset,)),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("new_cap",))
+def _grow(packed: PackedVectors, mask: jax.Array, new_cap: int):
+    old = packed.codes.shape[0]
+    pad = new_cap - old
+    return (
+        PackedVectors(
+            codes=jnp.pad(packed.codes, ((0, pad), (0, 0))),
+            scale=jnp.pad(packed.scale, (0, pad)),
+            offset=jnp.pad(packed.offset, (0, pad)),
+            inv_norm=jnp.pad(packed.inv_norm, (0, pad)),
+        ),
+        jnp.pad(mask, (0, pad)),
+    )
+
+
+@dataclass(frozen=True)
+class FlatIndex:
+    """Append-able exhaustive index.
+
+    Attributes:
+      packed: device PackedVectors of shape [capacity, D].
+      mask: device bool[capacity]; False = tombstoned (deleted) slot.
+      ids: host int64[capacity] external id per slot (0 beyond n).
+      n: number of occupied slots (appends are contiguous; deletes tombstone).
+      live: number of non-tombstoned rows.
+    """
+
+    packed: PackedVectors
+    mask: jax.Array
+    ids: np.ndarray
+    n: int
+    live: int
+
+    @property
+    def dim(self) -> int:
+        return self.packed.codes.shape[-1]
+
+    @property
+    def capacity(self) -> int:
+        return self.packed.codes.shape[0]
+
+    # ---- construction ----
+
+    @staticmethod
+    def create(dim: int, capacity: int = constants.BUCKET_ROUND) -> "FlatIndex":
+        cap = round_capacity(capacity)
+        return FlatIndex(
+            packed=PackedVectors(
+                codes=jnp.zeros((cap, dim), jnp.int8),
+                scale=jnp.zeros((cap,), jnp.float32),
+                offset=jnp.zeros((cap,), jnp.float32),
+                inv_norm=jnp.zeros((cap,), jnp.float32),
+            ),
+            mask=jnp.zeros((cap,), jnp.bool_),
+            ids=np.zeros((cap,), np.int64),
+            n=0,
+            live=0,
+        )
+
+    @staticmethod
+    def from_packed(host_packed: PackedVectors, ids: np.ndarray) -> "FlatIndex":
+        """Bulk-load from host-side packed arrays (boot path)."""
+        n, dim = host_packed.codes.shape
+        idx = FlatIndex.create(dim, capacity=max(n, 1))
+        if n == 0:
+            return idx
+        return idx.append(host_packed, ids)
+
+    # ---- mutation (returns new index) ----
+
+    def append(self, new: PackedVectors, ids: np.ndarray) -> "FlatIndex":
+        """Append rows (host or device PackedVectors) contiguously."""
+        m = int(np.shape(new.codes)[0])
+        if m == 0:
+            return self
+        ids = np.asarray(ids, np.int64)
+        assert ids.shape == (m,)
+        packed, mask = self.packed, self.mask
+        cap = self.capacity
+        if self.n + m > cap:
+            new_cap = round_capacity(self.n + m)
+            packed, mask = _grow(packed, mask, new_cap)
+            cap = new_cap
+        # Pad the update block to a small set of static sizes so appends of
+        # varying batch sizes reuse one compiled program per size class.
+        m_pad = min(round_capacity(m), cap - self.n)
+        upd = PackedVectors(
+            codes=jnp.asarray(
+                np.pad(np.asarray(new.codes, np.int8), ((0, m_pad - m), (0, 0)))
+            ),
+            scale=jnp.asarray(np.pad(np.asarray(new.scale, np.float32), (0, m_pad - m))),
+            offset=jnp.asarray(
+                np.pad(np.asarray(new.offset, np.float32), (0, m_pad - m))
+            ),
+            inv_norm=jnp.asarray(
+                np.pad(np.asarray(new.inv_norm, np.float32), (0, m_pad - m))
+            ),
+        )
+        upd_mask = jnp.asarray(np.arange(m_pad) < m)
+        packed, mask = _write_block(packed, mask, upd, upd_mask, jnp.int32(self.n))
+        new_ids = self.ids if cap == len(self.ids) else np.pad(
+            self.ids, (0, cap - len(self.ids))
+        )
+        new_ids = new_ids.copy()
+        new_ids[self.n : self.n + m] = ids
+        return FlatIndex(
+            packed=packed, mask=mask, ids=new_ids, n=self.n + m, live=self.live + m
+        )
+
+    def remove_ids(self, remove: np.ndarray) -> "FlatIndex":
+        """Tombstone rows whose external id is in `remove`."""
+        remove = np.asarray(remove, np.int64)
+        if remove.size == 0 or self.n == 0:
+            return self
+        hit = np.isin(self.ids[: self.n], remove)
+        if not hit.any():
+            return self
+        host_mask = np.array(self.mask)  # copy: jax arrays are read-only views
+        host_mask[: self.n] &= ~hit
+        return replace(
+            self,
+            mask=jnp.asarray(host_mask),
+            live=self.live - int(hit.sum()),
+        )
+
+    def compact(self) -> "FlatIndex":
+        """Drop tombstoned rows (host-side repack; background operation)."""
+        host_mask = np.asarray(self.mask)[: self.n]
+        keep = np.nonzero(host_mask)[0]
+        host = PackedVectors(
+            codes=np.asarray(self.packed.codes)[keep],
+            scale=np.asarray(self.packed.scale)[keep],
+            offset=np.asarray(self.packed.offset)[keep],
+            inv_norm=np.asarray(self.packed.inv_norm)[keep],
+        )
+        return FlatIndex.from_packed(host, self.ids[keep])
+
+    # ---- queries ----
+
+    def search(self, queries, k: int, chunk: int = 65_536):
+        """Top-k cosine search. Returns (scores f32[B,k], ids int64[B,k]);
+        empty slots carry score -inf and id -1."""
+        queries = jnp.atleast_2d(jnp.asarray(queries, jnp.float32))
+        scores, slots = cosine.scan_topk(
+            queries,
+            self.packed,
+            jnp.int32(self.n),
+            k=k,
+            chunk=chunk,
+            valid_mask=self.mask,
+        )
+        scores = np.asarray(scores)
+        slots = np.asarray(slots)
+        # slots of -inf entries may point into scan padding; clip before the
+        # id lookup, then null them out.
+        safe = np.clip(slots, 0, len(self.ids) - 1)
+        out_ids = np.where(np.isneginf(scores), -1, self.ids[safe])
+        return scores, out_ids

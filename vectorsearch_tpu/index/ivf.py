@@ -1,0 +1,409 @@
+"""IVF-Flat index: HBM-resident packed cluster buckets + probe/scan.
+
+Replaces the reference's SQL-side IVF (probe over centroid rows cached 5s,
+then `FindInBatches` over `centroid_id IN probed` — server/search.go:202-273)
+with a device-resident layout:
+
+  centroids  f32[K, D]
+  buckets    PackedVectors of shape [K, cap, D] / [K, cap]  (uniform padded
+             capacity, counts mask the tail — static shapes for XLA)
+  ids        host int64[K, cap]  slot -> external id
+  spill      FlatIndex overflow tail for clusters that outgrow `cap`
+             (searched alongside; drained by the next rebuild)
+
+Query path: centroid top-nprobe probe (one small matmul) -> gather probed
+buckets -> batched per-query scoring via the affine identity -> masked top-k
+over nprobe*cap candidates -> merge with spill hits.
+
+Insert path (append-without-rebuild, reference: server/upload.go:240-246):
+nearest-centroid assign on device, host slot allocation from counts, one
+scatter into donated bucket buffers; overflow rows go to the spill index.
+Global structure is only repaired by the next rebuild
+(reference: server/centroids.go:17 RefreshCentroids).
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, replace
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants
+from ..kernels import cosine
+from ..quant.layout import PackedVectors
+from .flat import FlatIndex, round_capacity
+
+
+def bucket_capacity(max_count: int) -> int:
+    """Uniform bucket capacity: 25% headroom, rounded to constants.BUCKET_ROUND."""
+    need = max(1, int(max_count * 1.25))
+    return ((need + constants.BUCKET_ROUND - 1) // constants.BUCKET_ROUND) * constants.BUCKET_ROUND
+
+
+@functools.partial(jax.jit, static_argnames=("nprobe", "k"))
+def _ivf_scan(
+    queries: jax.Array,
+    centroids_n: jax.Array,
+    buckets: PackedVectors,
+    counts: jax.Array,
+    bucket_mask: jax.Array,
+    nprobe: int,
+    k: int,
+):
+    """Fused probe + bucket scan. Returns (scores[B,k], global_slot[B,k]).
+
+    global_slot = cluster * cap + slot_in_cluster; -inf rows carry slot of a
+    masked candidate (caller nulls them by score).
+    """
+    b = queries.shape[0]
+    kk, cap, d = buckets.codes.shape
+    qn = cosine.l2_normalize(queries.astype(jnp.float32))
+
+    # --- probe: [B, K] cosine vs normalized centroids (small matmul) ---
+    probe = jnp.dot(
+        qn.astype(jnp.bfloat16),
+        centroids_n.astype(jnp.bfloat16).T,
+        preferred_element_type=jnp.float32,
+    )
+    _, probed = jax.lax.top_k(probe, nprobe)  # [B, nprobe] cluster ids
+
+    flat_probed = probed.reshape(b * nprobe)
+
+    # --- gather probed buckets: [G, cap, D] + sidecars [G, cap] ---
+    g_codes = jnp.take(buckets.codes, flat_probed, axis=0)
+    g_scale = jnp.take(buckets.scale, flat_probed, axis=0)
+    g_offset = jnp.take(buckets.offset, flat_probed, axis=0)
+    g_inv = jnp.take(buckets.inv_norm, flat_probed, axis=0)
+    g_counts = jnp.take(counts, flat_probed)  # [G]
+    g_mask = jnp.take(bucket_mask, flat_probed, axis=0)  # [G, cap]
+
+    # --- batched scoring: per-gathered-bucket GEMV against its query ---
+    q_rep = jnp.repeat(qn, nprobe, axis=0)  # [G, D]
+    dots = jax.lax.dot_general(
+        g_codes.astype(jnp.bfloat16),
+        q_rep.astype(jnp.bfloat16),
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # [G, cap]
+    q_sum = jnp.sum(qn, axis=-1)  # [B]
+    qs_rep = jnp.repeat(q_sum, nprobe)  # [G]
+    inner = g_offset * qs_rep[:, None] + g_scale * dots
+    scores = inner * g_inv
+
+    # --- mask padding + tombstones ---
+    col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    valid = (col < g_counts[:, None]) & g_mask
+    scores = jnp.where(valid, scores, cosine.NEG_INF)
+
+    # --- top-k over the union of probed buckets ---
+    scores = scores.reshape(b, nprobe * cap)
+    k_eff = min(k, nprobe * cap)
+    best, pos = jax.lax.top_k(scores, k_eff)
+    cluster = jnp.take_along_axis(probed, pos // cap, axis=-1)
+    slot = pos % cap
+    gslot = cluster * cap + slot
+    if k_eff < k:
+        best = jnp.pad(best, ((0, 0), (0, k - k_eff)), constant_values=cosine.NEG_INF)
+        gslot = jnp.pad(gslot, ((0, 0), (0, k - k_eff)))
+    return best, gslot
+
+
+@jax.jit
+def _scatter_rows(
+    buckets: PackedVectors,
+    bucket_mask: jax.Array,
+    cid: jax.Array,
+    slot: jax.Array,
+    rows: PackedVectors,
+):
+    """Scatter new rows into (cid, slot); out-of-bounds slots are dropped
+    (JAX scatter semantics), which is how padded/overflow rows are elided.
+    Not donated: old index snapshots must remain readable (see flat.py)."""
+    return (
+        PackedVectors(
+            codes=buckets.codes.at[cid, slot].set(rows.codes),
+            scale=buckets.scale.at[cid, slot].set(rows.scale),
+            offset=buckets.offset.at[cid, slot].set(rows.offset),
+            inv_norm=buckets.inv_norm.at[cid, slot].set(rows.inv_norm),
+        ),
+        bucket_mask.at[cid, slot].set(True),
+    )
+
+
+@dataclass(frozen=True)
+class IVFIndex:
+    """IVF-Flat index over packed cluster buckets.
+
+    `counts`/`ids` live on the host (slot allocation is a host decision);
+    `counts_dev` mirrors counts on device for the scan.
+    """
+
+    centroids: jax.Array  # f32 [K, D]
+    centroids_n: jax.Array  # f32 [K, D], L2-normalized rows
+    buckets: PackedVectors  # [K, cap, D] / [K, cap]
+    bucket_mask: jax.Array  # bool [K, cap]
+    counts: np.ndarray  # host int32 [K]
+    counts_dev: jax.Array  # device int32 [K]
+    ids: np.ndarray  # host int64 [K, cap]
+    spill: FlatIndex
+
+    @property
+    def k_clusters(self) -> int:
+        return self.centroids.shape[0]
+
+    @property
+    def cap(self) -> int:
+        return self.buckets.codes.shape[1]
+
+    @property
+    def dim(self) -> int:
+        return self.centroids.shape[-1]
+
+    @property
+    def n_live(self) -> int:
+        return int(np.asarray(self.bucket_mask).sum()) + self.spill.live
+
+    # ---- construction ----
+
+    @staticmethod
+    def build(
+        packed: PackedVectors,
+        ids: np.ndarray,
+        centroids: np.ndarray,
+        assignments: np.ndarray | None = None,
+        assign_chunk: int = 65_536,
+    ) -> "IVFIndex":
+        """Build buckets from a full corpus + centroids (rebuild path).
+
+        Assignment runs on device in chunks; bucket packing is a host-side
+        vectorized scatter (one pass), then a single device_put per array.
+        """
+        packed = PackedVectors(*[np.asarray(a) for a in packed])
+        n, d = packed.codes.shape
+        kk = centroids.shape[0]
+        ids = np.asarray(ids, np.int64)
+
+        if assignments is None:
+            assignments = assign_clusters(packed, centroids, chunk=assign_chunk)
+        assignments = np.asarray(assignments, np.int32)
+
+        counts = np.bincount(assignments, minlength=kk).astype(np.int32)
+        cap = bucket_capacity(int(counts.max()) if n else 1)
+
+        order = np.argsort(assignments, kind="stable")
+        sorted_cid = assignments[order]
+        # slot within cluster = position in sorted run
+        starts = np.zeros(kk + 1, np.int64)
+        np.cumsum(counts, out=starts[1:])
+        slot = np.arange(n, dtype=np.int64) - starts[sorted_cid]
+
+        def scatter(field, fill=0):
+            src = np.asarray(field)
+            out_shape = (kk, cap) + src.shape[1:]
+            out = np.full(out_shape, fill, dtype=src.dtype)
+            out[sorted_cid, slot] = src[order]
+            return out
+
+        buckets = PackedVectors(
+            codes=jnp.asarray(scatter(packed.codes)),
+            scale=jnp.asarray(scatter(packed.scale)),
+            offset=jnp.asarray(scatter(packed.offset)),
+            inv_norm=jnp.asarray(scatter(packed.inv_norm)),
+        )
+        bucket_mask = np.zeros((kk, cap), np.bool_)
+        bucket_mask[sorted_cid, slot] = True
+        id_grid = np.zeros((kk, cap), np.int64)
+        id_grid[sorted_cid, slot] = ids[order]
+
+        cents = jnp.asarray(centroids, jnp.float32)
+        return IVFIndex(
+            centroids=cents,
+            centroids_n=cosine.l2_normalize(cents),
+            buckets=buckets,
+            bucket_mask=jnp.asarray(bucket_mask),
+            counts=counts,
+            counts_dev=jnp.asarray(counts),
+            ids=id_grid,
+            spill=FlatIndex.create(d),
+        )
+
+    # ---- queries ----
+
+    def search(self, queries, k: int, nprobe: int = 1):
+        """Top-k over probed clusters + spill. Returns (scores, ids) like
+        FlatIndex.search. nprobe<0 means probe everything
+        (reference: server/search.go:118-122)."""
+        queries = jnp.atleast_2d(jnp.asarray(queries, jnp.float32))
+        if nprobe < 0:
+            nprobe = self.k_clusters
+        nprobe = max(1, min(nprobe, self.k_clusters))
+        scores, gslot = _ivf_scan(
+            queries,
+            self.centroids_n,
+            self.buckets,
+            self.counts_dev,
+            self.bucket_mask,
+            nprobe=nprobe,
+            k=k,
+        )
+        scores = np.asarray(scores)
+        gslot = np.asarray(gslot)
+        flat_ids = self.ids.reshape(-1)
+        safe = np.clip(gslot, 0, flat_ids.size - 1)
+        out_ids = np.where(np.isneginf(scores), -1, flat_ids[safe])
+
+        if self.spill.live > 0:
+            s2, i2 = self.spill.search(queries, k)
+            both_s = np.concatenate([scores, s2], axis=-1)
+            both_i = np.concatenate([out_ids, i2], axis=-1)
+            take = np.argsort(-both_s, axis=-1, kind="stable")[:, :k]
+            scores = np.take_along_axis(both_s, take, axis=-1)
+            out_ids = np.take_along_axis(both_i, take, axis=-1)
+        return scores, out_ids
+
+    def probe(self, queries, nprobe: int):
+        """Centroid similarities + top-nprobe cluster ids (diagnostics and
+        engine parity with the reference's explicit probe step)."""
+        queries = jnp.atleast_2d(jnp.asarray(queries, jnp.float32))
+        qn = cosine.l2_normalize(queries)
+        sims = jnp.dot(qn, self.centroids_n.T, preferred_element_type=jnp.float32)
+        s, i = jax.lax.top_k(sims, min(nprobe, self.k_clusters))
+        return np.asarray(s), np.asarray(i)
+
+    # ---- mutation ----
+
+    def insert(self, new: PackedVectors, ids: np.ndarray) -> "IVFIndex":
+        """Append-without-rebuild: assign to nearest centroid, scatter into
+        buckets; rows that don't fit spill to the flat tail."""
+        m = int(np.shape(new.codes)[0])
+        if m == 0:
+            return self
+        ids = np.asarray(ids, np.int64)
+        new_host = PackedVectors(*[np.asarray(a) for a in new])
+        _, cid = cosine.nearest_centroid(
+            PackedVectors(*[jnp.asarray(a) for a in new_host]), self.centroids_n
+        )
+        cid = np.asarray(cid, np.int64)
+
+        # Host slot allocation: sequential slots per cluster, duplicates get
+        # consecutive positions.
+        counts = self.counts.copy()
+        slot = np.empty(m, np.int64)
+        for i in range(m):  # m is an upload batch (small)
+            slot[i] = counts[cid[i]]
+            counts[cid[i]] += 1
+        fits = slot < self.cap
+
+        idx = self
+        if fits.any():
+            sel = np.nonzero(fits)[0]
+            # pad the scatter batch to a size class; padded entries use an
+            # out-of-bounds slot so the scatter drops them.
+            m_pad = round_capacity(len(sel))
+            pad = m_pad - len(sel)
+            cid_p = np.pad(cid[sel], (0, pad))
+            slot_p = np.pad(slot[sel], (0, pad), constant_values=self.cap)
+            rows = PackedVectors(
+                codes=jnp.asarray(np.pad(new_host.codes[sel], ((0, pad), (0, 0)))),
+                scale=jnp.asarray(np.pad(new_host.scale[sel], (0, pad))),
+                offset=jnp.asarray(np.pad(new_host.offset[sel], (0, pad))),
+                inv_norm=jnp.asarray(np.pad(new_host.inv_norm[sel], (0, pad))),
+            )
+            buckets, bucket_mask = _scatter_rows(
+                self.buckets,
+                self.bucket_mask,
+                jnp.asarray(cid_p, jnp.int32),
+                jnp.asarray(slot_p, jnp.int32),
+                rows,
+            )
+            new_counts = np.minimum(counts, self.cap).astype(np.int32)
+            id_grid = self.ids.copy()
+            id_grid[cid[sel], slot[sel]] = ids[sel]
+            idx = replace(
+                self,
+                buckets=buckets,
+                bucket_mask=bucket_mask,
+                counts=new_counts,
+                counts_dev=jnp.asarray(new_counts),
+                ids=id_grid,
+            )
+
+        if (~fits).any():
+            sel = np.nonzero(~fits)[0]
+            spill = idx.spill.append(
+                PackedVectors(*[np.asarray(a)[sel] for a in new_host]), ids[sel]
+            )
+            idx = replace(idx, spill=spill)
+        return idx
+
+    def remove_ids(self, remove: np.ndarray) -> "IVFIndex":
+        remove = np.asarray(remove, np.int64)
+        if remove.size == 0:
+            return self
+        live = np.asarray(self.bucket_mask)
+        hit = np.isin(self.ids, remove) & live
+        idx = self
+        if hit.any():
+            mask = np.array(self.bucket_mask)
+            mask[hit] = False
+            idx = replace(idx, bucket_mask=jnp.asarray(mask))
+        spill = idx.spill.remove_ids(remove)
+        if spill is not idx.spill:
+            idx = replace(idx, spill=spill)
+        return idx
+
+    # ---- maintenance ----
+
+    def export_live(self) -> tuple[PackedVectors, np.ndarray]:
+        """All live rows (buckets + spill) as host arrays, for rebuilds."""
+        live = np.asarray(self.bucket_mask)
+        cid, slot = np.nonzero(live)
+        packed = PackedVectors(
+            codes=np.asarray(self.buckets.codes)[cid, slot],
+            scale=np.asarray(self.buckets.scale)[cid, slot],
+            offset=np.asarray(self.buckets.offset)[cid, slot],
+            inv_norm=np.asarray(self.buckets.inv_norm)[cid, slot],
+        )
+        ids = self.ids[cid, slot]
+        if self.spill.live > 0:
+            smask = np.asarray(self.spill.mask)[: self.spill.n]
+            keep = np.nonzero(smask)[0]
+            packed = PackedVectors(
+                codes=np.concatenate(
+                    [packed.codes, np.asarray(self.spill.packed.codes)[keep]]
+                ),
+                scale=np.concatenate(
+                    [packed.scale, np.asarray(self.spill.packed.scale)[keep]]
+                ),
+                offset=np.concatenate(
+                    [packed.offset, np.asarray(self.spill.packed.offset)[keep]]
+                ),
+                inv_norm=np.concatenate(
+                    [packed.inv_norm, np.asarray(self.spill.packed.inv_norm)[keep]]
+                ),
+            )
+            ids = np.concatenate([ids, self.spill.ids[keep]])
+        return packed, ids
+
+    def compact(self) -> "IVFIndex":
+        """Re-pack buckets against the CURRENT centroids (drains spill and
+        tombstones without re-running k-means)."""
+        packed, ids = self.export_live()
+        return IVFIndex.build(packed, ids, np.asarray(self.centroids))
+
+
+def assign_clusters(
+    packed: PackedVectors, centroids: np.ndarray, chunk: int = 65_536
+) -> np.ndarray:
+    """Nearest-centroid assignment for a host corpus, chunked on device."""
+    cents = cosine.l2_normalize(jnp.asarray(centroids, jnp.float32))
+    n = np.shape(packed.codes)[0]
+    out = np.empty(n, np.int32)
+    for start in range(0, n, chunk):
+        end = min(start + chunk, n)
+        sub = PackedVectors(*[jnp.asarray(np.asarray(a)[start:end]) for a in packed])
+        _, cid = cosine.nearest_centroid(sub, cents)
+        out[start:end] = np.asarray(cid)
+    return out

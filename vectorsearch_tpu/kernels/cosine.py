@@ -129,6 +129,7 @@ def scan_topk(
     n_valid: jax.Array,
     k: int,
     chunk: int = 65_536,
+    valid_mask: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Memory-bounded flat top-k over a large packed corpus.
 
@@ -153,6 +154,8 @@ def scan_topk(
     if n <= chunk:
         scores = scores_int8(q_codes, q_scale, q_sum, corpus)
         scores = mask_invalid(scores, n_valid)
+        if valid_mask is not None:
+            scores = jnp.where(valid_mask[None, :], scores, NEG_INF)
         s, i = jax.lax.top_k(scores, min(k, n))
         if k > n:
             s = jnp.pad(s, ((0, 0), (0, k - n)), constant_values=NEG_INF)
@@ -171,6 +174,11 @@ def scan_topk(
     tiles = jax.tree.map(
         lambda a: a.reshape((n_chunks, chunk) + a.shape[1:]), padded
     )
+    mask_tiles = (
+        None
+        if valid_mask is None
+        else jnp.pad(valid_mask, (0, n_pad)).reshape(n_chunks, chunk)
+    )
 
     init = (
         jnp.full((b, k), NEG_INF),
@@ -178,20 +186,26 @@ def scan_topk(
     )
 
     def body(carry, xs):
-        tile, tile_idx = xs
+        if mask_tiles is None:
+            tile, tile_idx = xs
+            tile_mask = None
+        else:
+            tile, tile_idx, tile_mask = xs
         best_s, best_i = carry
         s = scores_int8(q_codes, q_scale, q_sum, tile)
         base = tile_idx * chunk
         col = base + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col < n_valid, s, NEG_INF)
+        if tile_mask is not None:
+            s = jnp.where(tile_mask[None, :], s, NEG_INF)
         cand_s, pos = jax.lax.top_k(s, min(k, chunk))
         cand_i = base + pos
         new_s, new_i = merge_topk(best_s, best_i, cand_s, cand_i, k)
         return (new_s, new_i), None
 
-    (best_s, best_i), _ = jax.lax.scan(
-        body, init, (tiles, jnp.arange(n_chunks, dtype=jnp.int32))
-    )
+    chunk_ids = jnp.arange(n_chunks, dtype=jnp.int32)
+    xs = (tiles, chunk_ids) if mask_tiles is None else (tiles, chunk_ids, mask_tiles)
+    (best_s, best_i), _ = jax.lax.scan(body, init, xs)
     return best_s, best_i
 
 
