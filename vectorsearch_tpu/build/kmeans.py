@@ -1,0 +1,290 @@
+"""Sharded Lloyd's k-means centroid builder.
+
+Replaces the reference's entire dnc/ subsystem (divide-and-conquer over temp
+files with NumCPU-bounded goroutines — dnc/dnc.go:35-400, dnc/k_means.go,
+dnc/dataset.go, dnc/sampling.go). On TPU no recursion or disk staging is
+needed: one assignment matmul handles the full corpus, so the whole build
+collapses into Lloyd's iterations on the mesh (SURVEY.md §2.8, §7 stage 6):
+
+  assign     cosine argmax — [chunk, K] int8/bf16 matmul per tile (MXU)
+  accumulate per-cluster sums — one-hot matmul H^T @ V (MXU beats scatter)
+  recenter   mean of member vectors (reference: dnc/dnc.go:402-456)
+
+Multi-device: data tiles are sharded over the mesh's 'data' axis with
+shard_map; partial sums/counts/changes are combined with psum over ICI.
+
+Initialization keeps the reference's oversample-then-truncate idea
+(dnc/k_means.go:34-44,120-140) — seed a superset of k*SUPERSET_MUL random
+data points, run Lloyd's, keep the k largest clusters — but ranks by the
+final iteration's live counts, fixing the reference's zeroed-counts latent
+bug (dnc/k_means.go:111-116, flagged in SURVEY.md §2.2).
+
+Small-cluster handling mirrors dropSmallCentroids (dnc/dnc.go:458-574):
+clusters below min_size are dropped and their members reassigned to the
+survivors, which are then recentered.
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .. import constants
+from ..kernels import cosine
+from ..quant.layout import PackedVectors
+
+
+@dataclass(frozen=True)
+class KMeansResult:
+    centroids: np.ndarray  # f32 [K, D]
+    assignments: np.ndarray  # int32 [N]
+    counts: np.ndarray  # int64 [K]
+    iterations: int
+
+
+def _tile_data(packed: PackedVectors, chunk: int, pad_multiple: int = 1):
+    """Host-side: pad N to a chunk*pad_multiple multiple and reshape into
+    [n_tiles, chunk, ...] tiles plus a validity mask."""
+    codes = np.asarray(packed.codes)
+    n, d = codes.shape
+    total = chunk * pad_multiple
+    n_pad = (-n) % total
+    tiles = PackedVectors(
+        codes=np.pad(codes, ((0, n_pad), (0, 0))),
+        scale=np.pad(np.asarray(packed.scale), (0, n_pad)),
+        offset=np.pad(np.asarray(packed.offset), (0, n_pad)),
+        inv_norm=np.pad(np.asarray(packed.inv_norm), (0, n_pad)),
+    )
+    nc = (n + n_pad) // chunk
+    tiles = PackedVectors(
+        *[a.reshape((nc, chunk) + a.shape[1:]) for a in tiles]
+    )
+    valid = (np.arange(nc * chunk) < n).reshape(nc, chunk)
+    return tiles, valid, n
+
+
+def _assign_and_accumulate(tiles, valid, centroids, axis: str | None):
+    """One full Lloyd's pass over local tiles.
+
+    Returns (sums f32[K,D], counts f32[K], assignments int32[tiles, chunk]).
+    Inside shard_map (`axis` set) sums/counts are psum'ed over the mesh.
+    """
+    kk = centroids.shape[0]
+    cn = cosine.l2_normalize(centroids)
+    c_sums = jnp.sum(cn, axis=-1)
+
+    def body(carry, xs):
+        sums, counts = carry
+        tile, tile_valid = xs
+        dots = jax.lax.dot_general(
+            tile.codes.astype(jnp.bfloat16),
+            cn.astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [chunk, K]
+        inner = tile.offset[:, None] * c_sums[None, :] + tile.scale[:, None] * dots
+        sims = inner * tile.inv_norm[:, None]
+        cid = jnp.argmax(sims, axis=-1).astype(jnp.int32)
+
+        v = tile.offset[:, None] + tile.scale[:, None] * tile.codes.astype(
+            jnp.float32
+        )
+        onehot = (
+            cid[:, None] == jax.lax.broadcasted_iota(jnp.int32, (1, kk), 1)
+        ) & tile_valid[:, None]
+        onehot = onehot.astype(jnp.float32)  # [chunk, K]
+        sums = sums + jax.lax.dot_general(
+            onehot,
+            v,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [K, D]
+        counts = counts + jnp.sum(onehot, axis=0)
+        return (sums, counts), cid
+
+    init = (
+        jnp.zeros((kk, centroids.shape[1]), jnp.float32),
+        jnp.zeros((kk,), jnp.float32),
+    )
+    (sums, counts), cids = jax.lax.scan(body, init, (tiles, valid))
+    if axis is not None:
+        sums = jax.lax.psum(sums, axis)
+        counts = jax.lax.psum(counts, axis)
+    return sums, counts, cids
+
+
+def _make_iteration(mesh: Mesh | None, axis: str = "data"):
+    """Compile one Lloyd's iteration, optionally sharded over `mesh`."""
+
+    def iteration(tiles, valid, centroids, prev_assign):
+        sums, counts, cids = _assign_and_accumulate(
+            tiles, valid, centroids, axis if mesh is not None else None
+        )
+        new_centroids = jnp.where(
+            counts[:, None] > 0, sums / jnp.maximum(counts, 1)[:, None], centroids
+        )
+        changes = jnp.sum(
+            jnp.where(valid, cids != prev_assign, False).astype(jnp.int32)
+        )
+        if mesh is not None:
+            changes = jax.lax.psum(changes, axis)
+        return new_centroids, counts, cids, changes
+
+    if mesh is None:
+        return jax.jit(iteration)
+    pv = P(axis)
+    specs_in = (
+        PackedVectors(P(axis), P(axis), P(axis), P(axis)),
+        pv,
+        P(),
+        pv,
+    )
+    specs_out = (P(), P(), pv, P())
+    return jax.jit(
+        jax.shard_map(
+            iteration, mesh=mesh, in_specs=specs_in, out_specs=specs_out,
+            check_vma=False,
+        )
+    )
+
+
+def _device_put_tiles(tiles, valid, prev, mesh: Mesh | None, axis: str = "data"):
+    if mesh is None:
+        return (
+            PackedVectors(*[jnp.asarray(a) for a in tiles]),
+            jnp.asarray(valid),
+            jnp.asarray(prev),
+        )
+    sh = NamedSharding(mesh, P(axis))
+    return (
+        PackedVectors(*[jax.device_put(np.asarray(a), sh) for a in tiles]),
+        jax.device_put(valid, sh),
+        jax.device_put(prev, sh),
+    )
+
+
+def lloyd(
+    packed: PackedVectors,
+    init_centroids: np.ndarray,
+    max_iters: int = constants.KMEANS_ITERATION_LIMIT,
+    chunk: int = 16_384,
+    mesh: Mesh | None = None,
+    tol_changes: int = 0,
+) -> KMeansResult:
+    """Run Lloyd's iterations from the given centroids until the number of
+    assignment changes is <= tol_changes (reference converges on unchanged
+    quantized bytes — dnc/k_means.go:67-117 — we converge on assignments)."""
+    n_dev = mesh.devices.size if mesh is not None else 1
+    tiles, valid, n = _tile_data(packed, chunk, pad_multiple=n_dev)
+    prev = np.full(valid.shape, -1, np.int32)
+    d_tiles, d_valid, d_prev = _device_put_tiles(tiles, valid, prev, mesh)
+    centroids = jnp.asarray(init_centroids, jnp.float32)
+    iteration = _make_iteration(mesh)
+
+    counts = None
+    it = 0
+    for it in range(1, max_iters + 1):
+        centroids, counts, d_prev, changes = iteration(
+            d_tiles, d_valid, centroids, d_prev
+        )
+        if int(changes) <= tol_changes:
+            break
+    assignments = np.asarray(d_prev).reshape(-1)[:n]
+    return KMeansResult(
+        centroids=np.asarray(centroids),
+        assignments=assignments,
+        counts=np.asarray(counts, np.int64),
+        iterations=it,
+    )
+
+
+def sample_init(
+    packed: PackedVectors, k: int, seed: int = 0
+) -> np.ndarray:
+    """Initial centroids = dequantized random distinct data rows."""
+    n = np.shape(packed.codes)[0]
+    rng = np.random.default_rng(seed)
+    pick = rng.choice(n, size=min(k, n), replace=False)
+    codes = np.asarray(packed.codes)[pick].astype(np.float32)
+    scale = np.asarray(packed.scale)[pick]
+    offset = np.asarray(packed.offset)[pick]
+    return offset[:, None] + scale[:, None] * codes
+
+
+def kmeans(
+    packed: PackedVectors,
+    k: int,
+    max_iters: int = constants.KMEANS_ITERATION_LIMIT,
+    superset_mul: int = constants.SUPERSET_MUL,
+    superset_iters: int = 25,
+    chunk: int = 16_384,
+    mesh: Mesh | None = None,
+    seed: int = 0,
+) -> KMeansResult:
+    """Superset-initialized k-means (reference: dnc/k_means.go:19-207).
+
+    Phase 1: Lloyd's over k*superset_mul seeded centroids (bounded iters).
+    Phase 2: keep the k clusters with the most members (final-iteration
+             counts — the reference's ranking bug is fixed here), then run
+             Lloyd's to convergence.
+    """
+    n = np.shape(packed.codes)[0]
+    if n == 0:
+        raise ValueError("kmeans on empty dataset")
+    k = max(1, min(k, n))
+
+    k_super = min(k * max(1, superset_mul), n)
+    init = sample_init(packed, k_super, seed=seed)
+    if k_super > k:
+        phase1 = lloyd(
+            packed, init, max_iters=superset_iters, chunk=chunk, mesh=mesh
+        )
+        top = np.argsort(-phase1.counts, kind="stable")[:k]
+        init = phase1.centroids[top]
+    result = lloyd(packed, init, max_iters=max_iters, chunk=chunk, mesh=mesh)
+    return result
+
+
+def build_centroids(
+    packed: PackedVectors,
+    target_cluster_size: int = constants.CENTROID_SIZE,
+    min_cluster_size: int | None = None,
+    max_iters: int = 100,
+    chunk: int = 16_384,
+    mesh: Mesh | None = None,
+    seed: int = 0,
+    k: int | None = None,
+) -> KMeansResult:
+    """Full index build: k = ceil(n / target), k-means, drop small clusters,
+    reassign and recenter. Replaces dnc.KMeansDivideAndConquer
+    (dnc/dnc.go:35-263 + dropSmallCentroids + recenterDbCentroid)."""
+    n = np.shape(packed.codes)[0]
+    if k is None:
+        k = max(1, -(-n // target_cluster_size))
+    if min_cluster_size is None:
+        min_cluster_size = max(1, target_cluster_size // 10)
+
+    result = kmeans(
+        packed, k, max_iters=max_iters, chunk=chunk, mesh=mesh, seed=seed
+    )
+    if result.centroids.shape[0] <= 1:
+        return result
+
+    small = result.counts < min_cluster_size
+    if small.any() and (~small).any():
+        survivors = result.centroids[~small]
+        # one Lloyd's iteration against survivors = reassign + recenter
+        result = lloyd(
+            packed, survivors, max_iters=1, chunk=chunk, mesh=mesh,
+            tol_changes=-1,
+        )
+        # recenter once more so centroids reflect the new assignment
+        result = lloyd(
+            packed, result.centroids, max_iters=1, chunk=chunk, mesh=mesh,
+            tol_changes=-1,
+        )
+    return result
