@@ -1,0 +1,241 @@
+"""Sharded serving: corpus sharded over the mesh, per-shard top-k, ICI merge.
+
+This is the corpus-length scaling story (SURVEY.md §5 "long-context"
+analogue): rows (flat) or clusters (IVF) are sharded over the 'data' axis;
+each device scans its shard and the k-sized candidate sets are merged with
+one all_gather + local re-sort — candidates ride ICI, never the full score
+matrix. The reference's nearest equivalent is DB read replicas
+(database/database.go:86-103), which replicate the whole corpus instead of
+sharding it.
+
+Sharded indexes are read-only serving structures: they are built from a
+host snapshot by the single writer (engine rebuild path) and swapped in
+atomically. Streaming inserts go to the single-device indexes; a resharding
+rebuild folds them in.
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..index.ivf import _ivf_scan, bucket_capacity
+from ..kernels import cosine
+from ..quant.layout import PackedVectors
+from .mesh import DATA_AXIS, row_sharding
+
+_PV_SHARDED = PackedVectors(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS))
+
+
+def _pad_rows(packed: PackedVectors, total: int) -> PackedVectors:
+    n = packed.codes.shape[0]
+    pad = total - n
+    return PackedVectors(
+        codes=np.pad(np.asarray(packed.codes), ((0, pad), (0, 0))),
+        scale=np.pad(np.asarray(packed.scale), (0, pad)),
+        offset=np.pad(np.asarray(packed.offset), (0, pad)),
+        inv_norm=np.pad(np.asarray(packed.inv_norm), (0, pad)),
+    )
+
+
+def _merge_gathered(s, gi, k, b):
+    """all_gather per-shard candidates over ICI and take the global top-k
+    locally (identical on every device -> replicated output)."""
+    s_all = jax.lax.all_gather(s, DATA_AXIS)  # [n_dev, B, k]
+    i_all = jax.lax.all_gather(gi, DATA_AXIS)
+    s_flat = jnp.moveaxis(s_all, 0, 1).reshape(b, -1)
+    i_flat = jnp.moveaxis(i_all, 0, 1).reshape(b, -1)
+    best, pos = jax.lax.top_k(s_flat, k)
+    return best, jnp.take_along_axis(i_flat, pos, axis=-1)
+
+
+@functools.lru_cache(maxsize=64)
+def _flat_scan_factory(mesh: Mesh, k: int, chunk: int, rows: int):
+    def local(queries, packed_local, n_local):
+        my = jax.lax.axis_index(DATA_AXIS)
+        s, i = cosine.scan_topk(queries, packed_local, n_local[0], k=k, chunk=chunk)
+        gi = jnp.where(jnp.isneginf(s), -1, i + my * rows)
+        return _merge_gathered(s, gi, k, queries.shape[0])
+
+    return jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(), _PV_SHARDED, P(DATA_AXIS)),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+    )
+
+
+@functools.lru_cache(maxsize=64)
+def _ivf_scan_factory(mesh: Mesh, k: int, nprobe_local: int, k_per: int, cap: int):
+    def local(queries, cents_n, buckets, counts, mask):
+        my = jax.lax.axis_index(DATA_AXIS)
+        s, gslot = _ivf_scan(
+            queries, cents_n, buckets, counts, mask, nprobe=nprobe_local, k=k
+        )
+        gslot = jnp.where(jnp.isneginf(s), -1, gslot + my * (k_per * cap))
+        return _merge_gathered(s, gslot, k, queries.shape[0])
+
+    return jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(), P(DATA_AXIS), _PV_SHARDED, P(DATA_AXIS), P(DATA_AXIS)),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+    )
+
+
+@dataclass(frozen=True)
+class ShardedFlat:
+    """Row-sharded exhaustive index."""
+
+    mesh: Mesh
+    packed: PackedVectors  # [N_pad, D] sharded P('data') on rows
+    n_local: jax.Array  # int32[n_dev] sharded P('data')
+    ids: np.ndarray  # host int64 [N_pad]
+    rows_per_shard: int
+    n: int
+
+    @staticmethod
+    def build(mesh: Mesh, host_packed: PackedVectors, ids: np.ndarray) -> "ShardedFlat":
+        n_dev = mesh.devices.size
+        n = np.shape(host_packed.codes)[0]
+        rows = max(8, -(-max(n, 1) // n_dev))
+        total = rows * n_dev
+        padded = _pad_rows(host_packed, total)
+        sh = row_sharding(mesh)
+        packed = PackedVectors(*[jax.device_put(a, sh) for a in padded])
+        n_local = np.clip(n - rows * np.arange(n_dev), 0, rows).astype(np.int32)
+        return ShardedFlat(
+            mesh=mesh,
+            packed=packed,
+            n_local=jax.device_put(n_local, sh),
+            ids=np.pad(np.asarray(ids, np.int64), (0, total - n)),
+            rows_per_shard=rows,
+            n=n,
+        )
+
+    def search(self, queries, k: int, chunk: int = 65_536):
+        queries = jnp.atleast_2d(jnp.asarray(queries, jnp.float32))
+        fn = _flat_scan_factory(self.mesh, k, chunk, self.rows_per_shard)
+        s, gi = fn(queries, self.packed, self.n_local)
+        s = np.asarray(s)
+        gi = np.asarray(gi)
+        safe = np.clip(gi, 0, len(self.ids) - 1)
+        out = np.where(gi < 0, -1, self.ids[safe])
+        return s, out
+
+
+@dataclass(frozen=True)
+class ShardedIVF:
+    """Cluster-sharded IVF index.
+
+    Each device owns K/n_dev clusters (centroids + buckets). Probing is
+    per-shard: every device picks its local top-ceil(nprobe/n_dev) clusters
+    and scans them; the union across devices covers >= nprobe clusters.
+    Candidates are all_gather'ed and re-sorted locally.
+    """
+
+    mesh: Mesh
+    centroids_n: jax.Array  # [K_pad, D] sharded on rows
+    buckets: PackedVectors  # [K_pad, cap, D] sharded on clusters
+    bucket_mask: jax.Array  # [K_pad, cap] sharded
+    counts: jax.Array  # int32 [K_pad] sharded
+    ids: np.ndarray  # host int64 [K_pad, cap]
+    clusters_per_shard: int
+    k_clusters: int
+
+    @property
+    def cap(self) -> int:
+        return self.buckets.codes.shape[1]
+
+    @staticmethod
+    def build(
+        mesh: Mesh,
+        host_packed: PackedVectors,
+        ids: np.ndarray,
+        centroids: np.ndarray,
+        assignments: np.ndarray | None = None,
+    ) -> "ShardedIVF":
+        """Pack host corpus into cluster buckets sharded over the mesh."""
+        from ..index.ivf import assign_clusters
+
+        n_dev = mesh.devices.size
+        kk, d = centroids.shape
+        k_per = -(-kk // n_dev)
+        k_pad = k_per * n_dev
+        ids = np.asarray(ids, np.int64)
+        host_packed = PackedVectors(*[np.asarray(a) for a in host_packed])
+
+        if assignments is None:
+            assignments = assign_clusters(host_packed, centroids)
+        assignments = np.asarray(assignments, np.int32)
+        counts = np.bincount(assignments, minlength=k_pad).astype(np.int32)
+        cap = bucket_capacity(int(counts.max()) if len(ids) else 1)
+
+        order = np.argsort(assignments, kind="stable")
+        sorted_cid = assignments[order]
+        starts = np.zeros(k_pad + 1, np.int64)
+        np.cumsum(counts, out=starts[1:])
+        slot = np.arange(len(order), dtype=np.int64) - starts[sorted_cid]
+
+        def scatter(field):
+            src = np.asarray(field)
+            out = np.zeros((k_pad, cap) + src.shape[1:], dtype=src.dtype)
+            out[sorted_cid, slot] = src[order]
+            return out
+
+        sh = row_sharding(mesh)
+        buckets = PackedVectors(
+            codes=jax.device_put(scatter(host_packed.codes), sh),
+            scale=jax.device_put(scatter(host_packed.scale), sh),
+            offset=jax.device_put(scatter(host_packed.offset), sh),
+            inv_norm=jax.device_put(scatter(host_packed.inv_norm), sh),
+        )
+        mask = np.zeros((k_pad, cap), np.bool_)
+        mask[sorted_cid, slot] = True
+        id_grid = np.zeros((k_pad, cap), np.int64)
+        id_grid[sorted_cid, slot] = ids[order]
+
+        cents = np.zeros((k_pad, d), np.float32)
+        cents[:kk] = centroids
+        cents_n = np.asarray(cosine.l2_normalize(jnp.asarray(cents)))
+        # padded (nonexistent) clusters keep zero centroids; if probed they
+        # contribute only -inf-masked candidates (count 0).
+        return ShardedIVF(
+            mesh=mesh,
+            centroids_n=jax.device_put(cents_n, sh),
+            buckets=buckets,
+            bucket_mask=jax.device_put(mask, sh),
+            counts=jax.device_put(counts, sh),
+            ids=id_grid,
+            clusters_per_shard=k_per,
+            k_clusters=kk,
+        )
+
+    def search(self, queries, k: int, nprobe: int = 1):
+        queries = jnp.atleast_2d(jnp.asarray(queries, jnp.float32))
+        n_dev = self.mesh.devices.size
+        if nprobe < 0:
+            nprobe = self.k_clusters
+        nprobe_local = max(1, min(-(-nprobe // n_dev), self.clusters_per_shard))
+        fn = _ivf_scan_factory(
+            self.mesh, k, nprobe_local, self.clusters_per_shard, self.cap
+        )
+        s, gi = fn(
+            queries, self.centroids_n, self.buckets, self.counts, self.bucket_mask
+        )
+        s = np.asarray(s)
+        gi = np.asarray(gi)
+        flat_ids = self.ids.reshape(-1)
+        safe = np.clip(gi, 0, flat_ids.size - 1)
+        out = np.where(gi < 0, -1, flat_ids[safe])
+        return s, out
