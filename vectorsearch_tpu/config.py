@@ -1,0 +1,240 @@
+"""JSON configuration (reference: config/config.go, config/sample.go).
+
+Same document shape as the reference so existing config files port over:
+  server{http_address, https_address}, tls{...}, database{...},
+  ollama{embed/generate/chat provider blocks}, openai{...}, log_level.
+Scalar-or-list fields (api_base, sqlite DSNs — reference
+config/config_database.go:62-85 SingleOrSlice) accept both forms.
+Engine tuning constants stay compile-time (constants.py), as in the
+reference (config/constants.go).
+"""
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Any
+
+
+def _as_list(v) -> list:
+    if v is None:
+        return []
+    if isinstance(v, (list, tuple)):
+        return list(v)
+    return [v]
+
+
+@dataclass
+class Provider:
+    """One model endpoint group (reference: config/config_ai.go Provider)."""
+
+    api_base: list[str] = field(default_factory=list)
+    token: str = ""
+    model: str = ""
+    num_ctx: int = 8192
+    request_compression: bool = False
+
+    @staticmethod
+    def parse(d: dict | None) -> "Provider | None":
+        if not d:
+            return None
+        return Provider(
+            api_base=_as_list(d.get("api_base")),
+            token=d.get("token", ""),
+            model=d.get("model", ""),
+            num_ctx=int(d.get("num_ctx", 8192)),
+            request_compression=bool(d.get("request_compression", False)),
+        )
+
+    def to_dict(self) -> dict:
+        return {
+            "api_base": self.api_base,
+            "token": self.token,
+            "model": self.model,
+            "num_ctx": self.num_ctx,
+            "request_compression": self.request_compression,
+        }
+
+
+@dataclass
+class AIConfig:
+    embed: Provider | None = None
+    generate: Provider | None = None
+    chat: Provider | None = None
+
+    @staticmethod
+    def parse(d: dict | None) -> "AIConfig":
+        d = d or {}
+        return AIConfig(
+            embed=Provider.parse(d.get("embed")),
+            generate=Provider.parse(d.get("generate")),
+            chat=Provider.parse(d.get("chat")),
+        )
+
+    def to_dict(self) -> dict:
+        return {
+            "embed": self.embed.to_dict() if self.embed else None,
+            "generate": self.generate.to_dict() if self.generate else None,
+            "chat": self.chat.to_dict() if self.chat else None,
+        }
+
+
+@dataclass
+class DatabaseConfig:
+    sqlite: str = "./vectorstore.db"
+    postgres: list[str] = field(default_factory=list)
+    cache: str = "./vectorcache"
+    snapshots: str = "./snapshots"
+    log_level: str = "error"
+
+    @staticmethod
+    def parse(d: dict | None) -> "DatabaseConfig":
+        d = d or {}
+        return DatabaseConfig(
+            sqlite=d.get("sqlite", "./vectorstore.db"),
+            postgres=_as_list(d.get("postgres")),
+            cache=d.get("cache", "./vectorcache"),
+            snapshots=d.get("snapshots", "./snapshots"),
+            log_level=d.get("log_level", "error"),
+        )
+
+    def to_dict(self) -> dict:
+        return {
+            "sqlite": self.sqlite,
+            "postgres": self.postgres,
+            "cache": self.cache,
+            "snapshots": self.snapshots,
+            "log_level": self.log_level,
+        }
+
+
+@dataclass
+class TLSConfig:
+    """Certificate config (reference: config/config_tls.go). Self-signed
+    generation + hourly reload are implemented in api/tls.py."""
+
+    domain_name_server: list[str] = field(default_factory=list)
+    ip: list[str] = field(default_factory=list)
+    certificates: list[dict] = field(default_factory=list)  # {cert, key} paths
+
+    @staticmethod
+    def parse(d: dict | None) -> "TLSConfig":
+        d = d or {}
+        return TLSConfig(
+            domain_name_server=_as_list(d.get("domain_name_server")),
+            ip=_as_list(d.get("ip")),
+            certificates=_as_list(d.get("certificates")),
+        )
+
+    def to_dict(self) -> dict:
+        return {
+            "domain_name_server": self.domain_name_server,
+            "ip": self.ip,
+            "certificates": self.certificates,
+        }
+
+
+@dataclass
+class ServerConfig:
+    http_address: str = ":7500"
+    https_address: str = ":7501"
+
+    @staticmethod
+    def parse(d: dict | None) -> "ServerConfig":
+        d = d or {}
+        return ServerConfig(
+            http_address=d.get("http_address", ":7500"),
+            https_address=d.get("https_address", ":7501"),
+        )
+
+    def to_dict(self) -> dict:
+        return {
+            "http_address": self.http_address,
+            "https_address": self.https_address,
+        }
+
+
+@dataclass
+class MeshConfig:
+    """TPU-native addition: device mesh for sharded serving/builds."""
+
+    devices: int = 0  # 0 = all local devices
+    shard_serving: bool = False  # shard the serving index over the mesh
+
+    @staticmethod
+    def parse(d: dict | None) -> "MeshConfig":
+        d = d or {}
+        return MeshConfig(
+            devices=int(d.get("devices", 0)),
+            shard_serving=bool(d.get("shard_serving", False)),
+        )
+
+    def to_dict(self) -> dict:
+        return {"devices": self.devices, "shard_serving": self.shard_serving}
+
+
+@dataclass
+class Config:
+    server: ServerConfig = field(default_factory=ServerConfig)
+    tls: TLSConfig = field(default_factory=TLSConfig)
+    database: DatabaseConfig = field(default_factory=DatabaseConfig)
+    ollama: AIConfig = field(default_factory=AIConfig)
+    openai: AIConfig = field(default_factory=AIConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    log_level: str = "info"
+
+    @staticmethod
+    def parse(raw: str | bytes) -> "Config":
+        d = json.loads(raw)
+        return Config(
+            server=ServerConfig.parse(d.get("server")),
+            tls=TLSConfig.parse(d.get("tls")),
+            database=DatabaseConfig.parse(d.get("database")),
+            ollama=AIConfig.parse(d.get("ollama")),
+            openai=AIConfig.parse(d.get("openai")),
+            mesh=MeshConfig.parse(d.get("mesh")),
+            log_level=d.get("log_level", "info"),
+        )
+
+    def to_dict(self) -> dict:
+        return {
+            "server": self.server.to_dict(),
+            "tls": self.tls.to_dict(),
+            "database": self.database.to_dict(),
+            "ollama": self.ollama.to_dict(),
+            "openai": self.openai.to_dict(),
+            "mesh": self.mesh.to_dict(),
+            "log_level": self.log_level,
+        }
+
+
+def load(path: str) -> Config:
+    with open(path, "rb") as f:
+        return Config.parse(f.read())
+
+
+def create_sample(path: str) -> None:
+    """Write a sample config on first run (reference: config/sample.go:12-61,
+    main.go:35-55)."""
+    sample = Config(
+        ollama=AIConfig(
+            embed=Provider(
+                api_base=["http://localhost:11434"],
+                model="nomic-embed-text",
+                num_ctx=8192,
+            ),
+            generate=Provider(
+                api_base=["http://localhost:11434"],
+                model="llama3.2",
+                num_ctx=128_000,
+            ),
+            chat=Provider(
+                api_base=["http://localhost:11434"],
+                model="llama3.2",
+                num_ctx=128_000,
+            ),
+        ),
+    )
+    with open(path, "w") as f:
+        json.dump(sample.to_dict(), f, indent=4)
+    os.chmod(path, 0o600)

@@ -1,0 +1,104 @@
+"""HTTP client pooling, endpoint balancing, and zstd request compression.
+
+Host-side plumbing kept host-side (SURVEY.md §2.8 keeps this pattern):
+  * per-host pooled `requests.Session`, recycled after
+    HTTP_CLIENT_MAX_REQUESTS uses (reference: ai/httpclient/httpclient.go:
+    44-116, config/constants.go:18);
+  * multi-endpoint pick = shuffle + least-active-connections
+    (reference: ai/httpclient/provider.go:56-87);
+  * optional zstd request compression + transparent zstd response
+    decompression (reference: ai/httpclient/compression.go).
+"""
+from __future__ import annotations
+
+import random
+import threading
+from contextlib import contextmanager
+from urllib.parse import urljoin
+
+import requests
+
+from .. import constants
+from ..store.db import compress, decompress
+
+
+class SessionManager:
+    """Per-host session pool with request-count recycling."""
+
+    def __init__(self, max_requests: int | None = None):
+        self._lock = threading.Lock()
+        self._sessions: dict[str, tuple[requests.Session, int]] = {}
+        self._max = max_requests or constants.HTTP_CLIENT_MAX_REQUESTS
+
+    def get(self, host: str) -> requests.Session:
+        with self._lock:
+            sess, used = self._sessions.get(host, (None, 0))
+            if sess is None or used >= self._max:
+                if sess is not None:
+                    sess.close()
+                sess, used = requests.Session(), 0
+            self._sessions[host] = (sess, used + 1)
+            return sess
+
+    def close(self):
+        with self._lock:
+            for sess, _ in self._sessions.values():
+                sess.close()
+            self._sessions.clear()
+
+
+class EndpointPool:
+    """Least-active-connections endpoint picker with shuffled tie-break."""
+
+    def __init__(self, urls: list[str]):
+        if not urls:
+            raise ValueError("no endpoints configured")
+        self._urls = list(urls)
+        self._active = {u: 0 for u in urls}
+        self._lock = threading.Lock()
+
+    @contextmanager
+    def acquire(self):
+        with self._lock:
+            order = list(self._urls)
+            random.shuffle(order)
+            url = min(order, key=lambda u: self._active[u])
+            self._active[url] += 1
+        try:
+            yield url
+        finally:
+            with self._lock:
+                self._active[url] -= 1
+
+
+class ProviderClient:
+    """One provider role (embed/generate/chat): endpoints + sessions +
+    compression + auth headers."""
+
+    def __init__(self, cfg, sessions: SessionManager | None = None):
+        self.cfg = cfg
+        self.pool = EndpointPool(cfg.api_base)
+        self.sessions = sessions or SessionManager()
+
+    def post_json(self, path: str, payload: bytes, stream: bool = False, timeout=120):
+        with self.pool.acquire() as base:
+            url = urljoin(base if base.endswith("/") else base + "/", path.lstrip("/"))
+            headers = {"Content-Type": "application/json", "Accept-Encoding": "zstd"}
+            body = payload
+            if self.cfg.request_compression:
+                body = compress(payload)
+                headers["Content-Encoding"] = "zstd"
+            if self.cfg.token:
+                headers["Authorization"] = f"Bearer {self.cfg.token}"
+            sess = self.sessions.get(base)
+            resp = sess.post(
+                url, data=body, headers=headers, stream=stream, timeout=timeout
+            )
+            return resp
+
+    @staticmethod
+    def read_body(resp) -> bytes:
+        body = resp.content
+        if resp.headers.get("Content-Encoding", "").strip().lower() == "zstd":
+            body = decompress(body)
+        return body
