@@ -1,0 +1,140 @@
+"""Process entry point (reference: main.go:31-224).
+
+Boot order mirrors the reference: config load (sample generated on first
+run), logger, AI providers, startup micro-benchmark (preftest), store,
+engine (HBM index boot), background centroid refresh, HTTP + HTTPS/h2
+listeners, graceful shutdown on SIGINT/SIGTERM.
+
+Usage: python main.py [config.json]
+"""
+from __future__ import annotations
+
+import asyncio
+import os
+import signal
+import sys
+import threading
+
+from aiohttp import web
+
+from vectorsearch_tpu import config as config_mod
+from vectorsearch_tpu.api import TLSManager, build_app
+from vectorsearch_tpu.embed import AI
+from vectorsearch_tpu.engine import Engine
+from vectorsearch_tpu.logger import configure, sugar
+from vectorsearch_tpu.store import Store
+
+
+def preftest():
+    """Startup micro-benchmark (reference: main.go:247-286): times the
+    matrix cosine kernel and quantize/dequantize round trips, logging wall
+    times as a smoke/perf check."""
+    import time
+
+    import numpy as np
+
+    from vectorsearch_tpu.kernels import cosine
+    from vectorsearch_tpu.quant import codec, layout
+
+    rng = np.random.default_rng(0)
+    data = rng.normal(size=(500, 512)).astype(np.float32)
+    packed = layout.pack_float(data)
+    queries = rng.normal(size=(500, 512)).astype(np.float32)
+
+    import jax.numpy as jnp
+
+    q = jnp.asarray(queries)
+    t0 = time.perf_counter()
+    for _ in range(10):
+        cosine.scores_packed(q, packed).block_until_ready()
+    sugar().info(
+        "preftest matrix cosine 500x500@512 x10: %.1fms",
+        (time.perf_counter() - t0) * 1e3,
+    )
+
+    big = rng.normal(size=(1000, 512)).astype(np.float32)
+    t0 = time.perf_counter()
+    for _ in range(50):
+        wire = codec.quantize(big)
+    sugar().info("preftest quantize 1000x512 x50: %.1fms", (time.perf_counter() - t0) * 1e3)
+    t0 = time.perf_counter()
+    for _ in range(50):
+        codec.dequantize(wire)
+    sugar().info("preftest dequantize 1000x512 x50: %.1fms", (time.perf_counter() - t0) * 1e3)
+
+
+def _addr(spec: str) -> tuple[str | None, int]:
+    host, _, port = spec.rpartition(":")
+    return (host or None), int(port)
+
+
+async def serve(cfg: config_mod.Config, engine: Engine):
+    app = build_app(engine)
+    runner = web.AppRunner(app)
+    await runner.setup()
+
+    http_host, http_port = _addr(cfg.server.http_address)
+    sites = [web.TCPSite(runner, http_host, http_port)]
+
+    tls = None
+    if cfg.server.https_address:
+        try:
+            tls = TLSManager(cfg.tls)
+            tls.start()
+            https_host, https_port = _addr(cfg.server.https_address)
+            sites.append(
+                web.TCPSite(runner, https_host, https_port, ssl_context=tls.context())
+            )
+        except Exception as e:
+            sugar().error("HTTPS disabled: %s", e)
+
+    for site in sites:
+        await site.start()
+    sugar().info(
+        "listening on http %s%s",
+        cfg.server.http_address,
+        f" / https {cfg.server.https_address}" if tls else "",
+    )
+
+    stop = asyncio.Event()
+    loop = asyncio.get_running_loop()
+    for sig in (signal.SIGINT, signal.SIGTERM):
+        loop.add_signal_handler(sig, stop.set)
+    await stop.wait()
+    sugar().info("shutting down")
+    await runner.cleanup()
+    if tls:
+        tls.close()
+
+
+def main(argv: list[str]) -> int:
+    config_path = argv[1] if len(argv) > 1 else "config.json"
+    if not os.path.exists(config_path):
+        config_mod.create_sample(config_path)
+        print(
+            f"sample configuration created at {config_path}; edit it and rerun",
+            file=sys.stderr,
+        )
+        return 1
+    cfg = config_mod.load(config_path)
+    configure(cfg.log_level)
+
+    ai = AI.from_config(cfg, use_noop=os.environ.get("VSTPU_NOOP_AI") == "1")
+    preftest()
+
+    store = Store(cfg.database.sqlite)
+    engine = Engine(store, ai, snapshot_dir=cfg.database.snapshots)
+
+    # one-shot background index refresh at startup (reference: main.go:92)
+    threading.Thread(target=engine.refresh_centroids, daemon=True).start()
+
+    try:
+        asyncio.run(serve(cfg, engine))
+    finally:
+        engine.close()
+        store.close()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv))

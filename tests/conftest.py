@@ -11,7 +11,10 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the shell presets JAX_PLATFORMS=axon (tunneled TPU), which a
+# setdefault would NOT override — and unit tests must run on the local
+# 8-device virtual CPU mesh, not through the tunnel.
+os.environ["JAX_PLATFORMS"] = "cpu"
 # Persistent compile cache: XLA:CPU compiles of int8 scan kernels are slow;
 # cache them across test runs.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.cache/jax")

@@ -1,0 +1,195 @@
+"""HTTP API tests: route/payload parity, zstd middleware, chat streaming,
+error semantics. Runs the real aiohttp app against the engine with the
+word-hash embedder."""
+import asyncio
+import json
+
+import numpy as np
+import pytest
+from aiohttp.test_utils import TestClient, TestServer
+
+from vectorsearch_tpu import constants
+from vectorsearch_tpu.api import build_app
+from vectorsearch_tpu.engine import Engine, EngineCache
+from vectorsearch_tpu.store import Store
+from vectorsearch_tpu.store.db import compress, decompress
+
+from test_engine import FRUIT_DOCS, WordHashAI
+
+
+@pytest.fixture(autouse=True)
+def small_buckets(monkeypatch):
+    monkeypatch.setattr(constants, "BUCKET_ROUND", 64)
+
+
+@pytest.fixture
+def engine():
+    store = Store(":memory:")
+    eng = Engine(store, WordHashAI(), cache=EngineCache(ttl=0.0))
+    yield eng
+    eng.close()
+    store.close()
+
+
+def run(engine, coro_fn):
+    async def runner():
+        app = build_app(engine)
+        server = TestServer(app)
+        client = TestClient(server)
+        await client.start_server()
+        try:
+            return await coro_fn(client)
+        finally:
+            await client.close()
+
+    return asyncio.run(runner())
+
+
+def test_upload_then_search(engine):
+    async def flow(client):
+        r = await client.post(
+            "/api/upload",
+            json={"owner": "a", "category": "c", "documents": FRUIT_DOCS},
+        )
+        assert r.status == 200
+        up = await r.json()
+        assert len(up["document_ids"]) == 3
+
+        r = await client.post(
+            "/api/search",
+            json={"owner": "a", "category": "c", "text": "banana tropical", "count": 2},
+        )
+        assert r.status == 200
+        res = await r.json()
+        assert res["documents"][0]["name"] == "bananas"
+        assert res["documents"][0]["document_id"] == up["document_ids"][1]
+        assert 0 < res["documents"][0]["document_similarity"] <= 1.01
+        return None
+
+    run(engine, flow)
+
+
+def test_method_not_allowed(engine):
+    async def flow(client):
+        r = await client.put("/api/upload", json={})
+        assert r.status == 405
+        assert r.headers["Allow"] == "POST"
+        body = await r.json()
+        assert "error" in body
+
+    run(engine, flow)
+
+
+def test_bad_json(engine):
+    async def flow(client):
+        r = await client.post("/api/search", data=b"{not json")
+        assert r.status == 400
+
+    run(engine, flow)
+
+
+def test_upload_empty_documents_is_400(engine):
+    async def flow(client):
+        r = await client.post(
+            "/api/upload", json={"owner": "a", "category": "c", "documents": []}
+        )
+        assert r.status == 400
+
+    run(engine, flow)
+
+
+def test_zstd_request_and_response(engine):
+    async def flow(client):
+        import aiohttp
+
+        payload = compress(
+            json.dumps(
+                {"owner": "a", "category": "c", "documents": FRUIT_DOCS}
+            ).encode()
+        )
+        # raw session: aiohttp's default client auto-decompresses and has no
+        # zstd codec, so read the wire bytes ourselves
+        url = client.make_url("/api/upload")
+        async with aiohttp.ClientSession(auto_decompress=False) as sess:
+            async with sess.post(
+                url,
+                data=payload,
+                headers={"Content-Encoding": "zstd", "Accept-Encoding": "zstd"},
+            ) as r:
+                assert r.status == 200
+                raw = await r.read()
+                assert r.headers.get("Content-Encoding") == "zstd"
+                raw = decompress(raw)
+        assert len(json.loads(raw)["document_ids"]) == 3
+
+    run(engine, flow)
+
+
+def test_categories_and_deletes(engine):
+    async def flow(client):
+        await client.post(
+            "/api/upload",
+            json={"owner": "a", "category": "c1", "documents": FRUIT_DOCS[:1]},
+        )
+        await client.post(
+            "/api/upload",
+            json={"owner": "a", "category": "c2", "documents": FRUIT_DOCS[1:2]},
+        )
+        r = await client.post("/api/categories", json={"owner": "a"})
+        assert (await r.json())["category_names"] == ["c1", "c2"]
+
+        r = await client.post(
+            "/api/delete/category", json={"owner": "a", "category": "c1"}
+        )
+        assert r.status == 200 and (await r.json()) == {}
+        r = await client.post("/api/categories", json={"owner": "a"})
+        assert (await r.json())["category_names"] == ["c2"]
+
+        r = await client.post("/api/delete/owner", json={"owner": "a"})
+        assert r.status == 200
+        r = await client.post("/api/categories", json={"owner": "a"})
+        assert (await r.json())["category_names"] == []
+
+    run(engine, flow)
+
+
+def test_delete_document_route(engine):
+    async def flow(client):
+        r = await client.post(
+            "/api/upload",
+            json={"owner": "a", "category": "c", "documents": FRUIT_DOCS},
+        )
+        ids = (await r.json())["document_ids"]
+        r = await client.post(
+            "/api/delete/document",
+            json={"owner": "a", "category": "c", "document_id": ids[0]},
+        )
+        assert r.status == 200
+        r = await client.post(
+            "/api/search",
+            json={"owner": "a", "category": "c", "text": "apple orchard", "count": 3},
+        )
+        docs = (await r.json())["documents"]
+        assert all(d["document_id"] != ids[0] for d in docs)
+
+    run(engine, flow)
+
+
+def test_chat_stream(engine):
+    async def flow(client):
+        r = await client.post("/api/chat", json={"text": "hello"})
+        assert r.status == 200
+        assert r.headers["Content-Type"].startswith("text/plain")
+        body = await r.text()
+        assert body == "chat reply"
+
+    run(engine, flow)
+
+
+def test_static_pages(engine):
+    async def flow(client):
+        for path in ("/", "/api", "/api/openapi.yml"):
+            r = await client.get(path)
+            assert r.status == 200, path
+
+    run(engine, flow)

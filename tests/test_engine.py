@@ -1,0 +1,232 @@
+"""End-to-end engine tests with a deterministic word-hash embedder
+(the hermetic seam the reference provides via noop/ai.go, made semantic so
+upload->search roundtrips are assertable)."""
+import re
+import zlib
+
+import numpy as np
+import pytest
+
+from vectorsearch_tpu import constants
+from vectorsearch_tpu.embed.base import AIProvider
+from vectorsearch_tpu.engine import Engine, EngineCache
+from vectorsearch_tpu.quant import codec
+from vectorsearch_tpu.store import Store
+
+DIM = 64
+
+
+class WordHashAI(AIProvider):
+    """Deterministic 'semantic' embedder: a text's vector is the sum of
+    per-word seeded gaussians, so shared words -> high cosine."""
+
+    def __init__(self):
+        self.chat_calls = []
+
+    def can_embed(self):
+        return True
+
+    def can_chat(self):
+        return True
+
+    def can_generate(self):
+        return True
+
+    def embed(self, inputs, model=None):
+        out = []
+        for text in inputs:
+            words = re.findall(r"[a-z0-9]+", text.lower())
+            words = [
+                w for w in words if w not in ("search_query", "search_document")
+            ]
+            v = np.zeros(DIM, np.float64)
+            for w in words:
+                rng = np.random.default_rng(zlib.crc32(w.encode()))
+                v += rng.normal(size=DIM)
+            out.append(codec.quantize(v.astype(np.float32)))
+        return out
+
+    def generate(self, prompt, model=None):
+        return "gen"
+
+    def generate_stream(self, prompt, model=None):
+        yield "gen"
+
+    def chat(self, messages, model=None):
+        self.chat_calls.append(messages)
+        return "chat"
+
+    def chat_stream(self, messages, model=None):
+        self.chat_calls.append(messages)
+        yield "chat "
+        yield "reply"
+
+    def embed_ctx_num(self):
+        return 8192
+
+    def chat_ctx_num(self):
+        return 8192
+
+    def embed_model(self):
+        return "wordhash"
+
+    def chat_model(self):
+        return "wordhash"
+
+
+@pytest.fixture(autouse=True)
+def small_buckets(monkeypatch):
+    monkeypatch.setattr(constants, "BUCKET_ROUND", 64)
+
+
+@pytest.fixture
+def engine(tmp_path):
+    store = Store(":memory:")
+    ai = WordHashAI()
+    eng = Engine(store, ai, snapshot_dir=str(tmp_path / "snaps"),
+                 cache=EngineCache(ttl=0.0))  # ttl 0: no cross-test staleness
+    yield eng
+    eng.close()
+    store.close()
+
+
+FRUIT_DOCS = [
+    {"name": "apples", "document": {"text": "apple orchard harvest fruit"}},
+    {"name": "bananas", "document": {"text": "banana plantation tropical fruit"}},
+    {"name": "cars", "document": {"text": "engine gearbox wheels road"}},
+]
+
+
+def test_upload_and_search_roundtrip(engine):
+    ids = engine.upload("alice", "docs", FRUIT_DOCS)
+    assert len(ids) == 3
+    hits = engine.search("alice", "docs", "banana tropical", count=2)
+    assert hits
+    assert hits[0].name == "bananas"
+    assert hits[0].document == {"text": "banana plantation tropical fruit"}
+    assert hits[0].document_id == ids[1]
+
+    hits = engine.search("alice", "docs", "gearbox road", count=1)
+    assert hits[0].name == "cars"
+
+
+def test_search_unknown_owner_or_category(engine):
+    assert engine.search("nobody", "docs", "x") == []
+    engine.upload("alice", "docs", FRUIT_DOCS[:1])
+    assert engine.search("alice", "other", "x") == []
+
+
+def test_count_clamp_and_offset(engine):
+    engine.upload("alice", "docs", FRUIT_DOCS)
+    all_hits = engine.search("alice", "docs", "fruit apple banana", count=50)
+    assert len(all_hits) <= 20
+    first = engine.search("alice", "docs", "fruit apple banana", count=1)
+    second = engine.search(
+        "alice", "docs", "fruit apple banana", count=1, offset=1
+    )
+    assert first[0].document_id != second[0].document_id
+
+
+def test_dedup_by_document(engine):
+    # many sections per doc: long text with repeated distinct lines
+    long_doc = {
+        "name": "long",
+        "document": {"text": "\n".join(f"kiwi segment {i}" for i in range(40))},
+    }
+    monkey_ai = engine.ai
+
+    class TinyCtx(WordHashAI):
+        def embed_ctx_num(self):
+            return 40  # maxWords = 9 -> many sections
+
+    engine.ai = TinyCtx()
+    ids = engine.upload("alice", "docs", [long_doc])
+    engine.ai = monkey_ai
+    hits = engine.search("alice", "docs", "kiwi segment", count=10)
+    assert len([h for h in hits if h.document_id == ids[0]]) == 1
+
+
+def test_delete_document(engine):
+    ids = engine.upload("alice", "docs", FRUIT_DOCS)
+    engine.delete_document("alice", "docs", ids[1])
+    hits = engine.search("alice", "docs", "banana tropical", count=3)
+    assert all(h.document_id != ids[1] for h in hits)
+
+
+def test_delete_owner_cascades(engine):
+    engine.upload("alice", "docs", FRUIT_DOCS)
+    engine.delete_owner("alice")
+    assert engine.search("alice", "docs", "banana") == []
+    assert engine.fetch_category_names("alice") == []
+
+
+def test_category_names(engine):
+    engine.upload("alice", "a", FRUIT_DOCS[:1])
+    engine.upload("alice", "b", FRUIT_DOCS[1:2])
+    assert engine.fetch_category_names("alice") == ["a", "b"]
+    assert engine.fetch_category_names("ghost") == []
+
+
+def test_chat_prompt_construction(engine):
+    ids = engine.upload("alice", "docs", FRUIT_DOCS[:1])
+    out = "".join(
+        engine.chat(
+            "what fruit?",
+            prefix="Please answer",
+            history=["hi", "hello!"],
+            document_ids=[ids[0]],
+        )
+    )
+    assert out == "chat reply"
+    messages = engine.ai.chat_calls[-1]
+    assert [m["role"] for m in messages] == ["user", "assistant", "user"]
+    final = messages[-1]["content"]
+    assert "I have 1 text document" in final
+    assert '"""' in final and "apple orchard" in final
+    assert "My question is: Please answer. what fruit?" in final
+
+
+def test_refresh_centroids_rebuilds(engine):
+    docs = [
+        {"name": f"d{i}", "document": {"text": f"word{i % 5} common text {i}"}}
+        for i in range(60)
+    ]
+    engine.upload("alice", "docs", docs)
+    res = engine.refresh_centroids(target_cluster_size=20, chunk=256)
+    assert any(res.values())
+    cat = engine.store.get_category(engine.store.get_owner("alice").id, "docs")
+    state = engine._state_for(cat.id, create=False)
+    assert state.ivf.k_clusters >= 2
+    # DB centroid rows swapped to match
+    assert len(engine.store.centroids(cat.id)) == state.ivf.k_clusters
+    # search still works after rebuild
+    hits = engine.search("alice", "docs", "word3 common", count=3, centroids=-1)
+    assert hits
+
+
+def test_snapshot_boot(tmp_path):
+    store = Store(str(tmp_path / "db.sqlite"))
+    snaps = str(tmp_path / "snaps")
+    eng = Engine(store, WordHashAI(), snapshot_dir=snaps)
+    eng.upload("alice", "docs", FRUIT_DOCS)
+    eng.refresh_centroids(target_cluster_size=20, chunk=256)
+    eng.close()
+
+    # reboot from the same SQL + snapshots
+    eng2 = Engine(store, WordHashAI(), snapshot_dir=snaps)
+    hits = eng2.search("alice", "docs", "banana tropical", count=1)
+    assert hits and hits[0].name == "bananas"
+    eng2.close()
+    store.close()
+
+
+def test_boot_from_sql_without_snapshot(tmp_path):
+    store = Store(str(tmp_path / "db.sqlite"))
+    eng = Engine(store, WordHashAI(), snapshot_dir=None)
+    eng.upload("alice", "docs", FRUIT_DOCS)
+    eng.close()
+    eng2 = Engine(store, WordHashAI(), snapshot_dir=None)
+    hits = eng2.search("alice", "docs", "gearbox road", count=1)
+    assert hits and hits[0].name == "cars"
+    eng2.close()
+    store.close()

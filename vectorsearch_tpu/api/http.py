@@ -1,0 +1,226 @@
+"""HTTP API (reference: main.go routes + server/*Http handlers).
+
+Routes (main.go:168-178):
+  POST|GET /api/search            -> {"documents": [...]}
+  POST     /api/upload            -> {"document_ids": [...]}
+  POST|GET /api/chat              -> chunked text/plain stream
+  POST|GET /api/categories        -> {"category_names": [...]}
+  POST|DELETE /api/delete/owner | /api/delete/category | /api/delete/document
+  GET      /                      -> embedded UI, /api -> docs, openapi.yml
+
+Middleware parity: zstd request decompression on every API route
+(main.go:129-166), zstd response compression on upload/search (the
+reference compresses only those two plus static), 405 with Allow header,
+400 on bad JSON, 499 when the client goes away mid-request, 500 with
+{"error": ...} otherwise. Engine calls are synchronous (device-bound), so
+they run in the default thread executor.
+"""
+from __future__ import annotations
+
+import asyncio
+import dataclasses
+import json
+import os
+
+from aiohttp import web
+
+from ..engine import Engine
+from ..logger import next_txid, sugar
+from ..store.db import compress, decompress
+
+STATIC_DIR = os.path.join(os.path.dirname(__file__), "static")
+
+
+def _json_error(status: int, message: str, **headers) -> web.Response:
+    return web.Response(
+        status=status,
+        text=json.dumps({"error": message}),
+        content_type="application/json",
+        headers=headers,
+    )
+
+
+async def _read_json(request: web.Request):
+    body = await request.read()
+    if request.headers.get("Content-Encoding", "").strip().lower() == "zstd":
+        body = decompress(body)
+    if not body:
+        return {}
+    return json.loads(body)
+
+
+def _maybe_compress(request: web.Request, payload: bytes) -> tuple[bytes, dict]:
+    accepts = request.headers.get("Accept-Encoding", "")
+    if "zstd" in accepts.lower() and len(payload) > 64:
+        return compress(payload), {"Content-Encoding": "zstd"}
+    return payload, {}
+
+
+def _json_response(request: web.Request, obj, compressible: bool = False):
+    raw = json.dumps(obj).encode("utf-8")
+    headers = {}
+    if compressible:
+        raw, headers = _maybe_compress(request, raw)
+    return web.Response(
+        body=raw, content_type="application/json", headers=headers
+    )
+
+
+def build_app(engine: Engine) -> web.Application:
+    app = web.Application(client_max_size=256 * 1024 * 1024)
+
+    def handler(methods, fn, compressible=False):
+        async def wrapped(request: web.Request):
+            txid = next_txid()
+            if request.method not in methods:
+                return _json_error(405, "Invalid request method", Allow="POST")
+            try:
+                req = await _read_json(request)
+            except Exception:
+                return _json_error(400, "Invalid request")
+            try:
+                result = await asyncio.get_running_loop().run_in_executor(
+                    None, fn, req
+                )
+            except asyncio.CancelledError:
+                sugar().warning("%d request canceled", txid)
+                raise
+            except (ValueError, KeyError, TypeError) as e:
+                sugar().warning("%d bad request: %s", txid, e)
+                return _json_error(400, "Invalid request")
+            except Exception as e:
+                sugar().error("%d request failed: %s", txid, e)
+                return _json_error(500, "Request failed")
+            return _json_response(request, result, compressible=compressible)
+
+        return wrapped
+
+    # ---- search (server/search.go:45-112) ----
+    def do_search(req):
+        hits = engine.search(
+            req.get("owner", ""),
+            req.get("category", ""),
+            req.get("text", ""),
+            count=int(req.get("count", 0) or 0) or 1,
+            offset=int(req.get("offset", 0) or 0),
+            centroids=int(req.get("centroids", 0) or 0),
+        )
+        return {
+            "documents": [
+                {
+                    "name": h.name,
+                    "external_id": h.external_id,
+                    "document": h.document,
+                    "document_id": h.document_id,
+                    "document_similarity": h.similarity,
+                }
+                for h in hits
+            ]
+        }
+
+    # ---- upload (server/upload.go:40-108) ----
+    def do_upload(req):
+        docs = req.get("documents") or []
+        ids = engine.upload(req.get("owner", ""), req.get("category", ""), docs)
+        return {"document_ids": ids}
+
+    # ---- categories (server/fetch.go:27-97) ----
+    def do_categories(req):
+        return {"category_names": engine.fetch_category_names(req.get("owner", ""))}
+
+    # ---- deletes (server/delete.go) ----
+    def do_delete_owner(req):
+        engine.delete_owner(req.get("owner", ""))
+        return {}
+
+    def do_delete_category(req):
+        engine.delete_category(req.get("owner", ""), req.get("category", ""))
+        return {}
+
+    def do_delete_document(req):
+        engine.delete_document(
+            req.get("owner", ""),
+            req.get("category", ""),
+            int(req.get("document_id", 0)),
+        )
+        return {}
+
+    # ---- chat: chunked text stream (server/chat.go:31-106) ----
+    async def chat_handler(request: web.Request):
+        txid = next_txid()
+        if request.method not in ("POST", "GET"):
+            return _json_error(405, "Invalid request method", Allow="POST")
+        try:
+            req = await _read_json(request)
+        except Exception:
+            return web.Response(status=400, text="Invalid request")
+        resp = web.StreamResponse()
+        resp.content_type = "text/plain"
+        resp.enable_chunked_encoding()
+        await resp.prepare(request)
+        loop = asyncio.get_running_loop()
+        try:
+            stream = await loop.run_in_executor(
+                None,
+                lambda: engine.chat(
+                    req.get("text", ""),
+                    prefix=req.get("prefix", ""),
+                    history=req.get("history") or [],
+                    document_ids=req.get("document_ids") or [],
+                    documents=req.get("documents") or [],
+                ),
+            )
+            it = iter(stream)
+            while True:
+                delta = await loop.run_in_executor(None, next, it, None)
+                if delta is None:
+                    break
+                await resp.write(delta.encode("utf-8"))
+        except asyncio.CancelledError:
+            sugar().warning("%d chat canceled", txid)
+            raise
+        except Exception as e:
+            sugar().error("%d chat failed: %s", txid, e)
+        await resp.write_eof()
+        return resp
+
+    app.router.add_route(
+        "*", "/api/search", handler(("POST", "GET"), do_search, compressible=True)
+    )
+    app.router.add_route(
+        "*", "/api/upload", handler(("POST",), do_upload, compressible=True)
+    )
+    app.router.add_route("*", "/api/chat", chat_handler)
+    app.router.add_route(
+        "*", "/api/categories", handler(("POST", "GET"), do_categories)
+    )
+    app.router.add_route(
+        "*", "/api/delete/owner", handler(("POST", "DELETE"), do_delete_owner)
+    )
+    app.router.add_route(
+        "*",
+        "/api/delete/category",
+        handler(("POST", "DELETE"), do_delete_category),
+    )
+    app.router.add_route(
+        "*",
+        "/api/delete/document",
+        handler(("POST", "DELETE"), do_delete_document),
+    )
+
+    # ---- static UI + API docs (reference: static/static.go, ui/) ----
+    async def index(request):
+        return web.FileResponse(os.path.join(STATIC_DIR, "index.html"))
+
+    async def api_docs(request):
+        return web.FileResponse(os.path.join(STATIC_DIR, "api.html"))
+
+    async def openapi(request):
+        return web.FileResponse(
+            os.path.join(STATIC_DIR, "openapi.yml"),
+        )
+
+    app.router.add_get("/", index)
+    app.router.add_get("/api", api_docs)
+    app.router.add_get("/api/openapi.yml", openapi)
+    return app

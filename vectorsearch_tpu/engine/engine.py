@@ -1,0 +1,516 @@
+"""Engine: upload / search / chat / fetch / delete orchestration.
+
+The TPU-native replacement for the reference's server/ package
+(server/upload.go, search.go, chat.go, fetch.go, delete.go). The defining
+architectural change (SURVEY.md §1 note): the reference is
+database-resident — every search re-reads quantized BLOBs out of SQL in
+1000-row batches and re-dequantizes them (server/search.go:241-273,
+compute/compute.go:32) — while here each category's vectors live in HBM as
+a packed int8 IVF index. SQL holds documents/metadata and is the durable
+checkpoint; the device boundary is "query vector in, (ids, scores) out"
+(SURVEY.md §7 "host/device seam").
+
+Concurrency: searches read the current index snapshot without locking
+(atomic reference swap); mutations serialize per category. Index rebuilds
+(refresh_centroids) take a non-blocking per-category build lock — the
+in-process analogue of the reference's Postgres SHARE NOWAIT row lock
+(server/centroids.go:33-52) — and swap the rebuilt index in atomically.
+"""
+from __future__ import annotations
+
+import threading
+from dataclasses import dataclass, field
+from typing import Any, Iterator
+
+import numpy as np
+
+from .. import constants
+from ..build import build_centroids
+from ..embed.base import AIProvider
+from ..index import IVFIndex
+from ..logger import next_txid, sugar
+from ..quant import codec, layout
+from ..quant.layout import PackedVectors
+from ..store import Store, snapshots
+from .cache import EngineCache
+from .textprep import document_prefix, flatten, split
+
+MAX_RESULTS = 20  # reference clamps count to [1, 20] (server/search.go:116)
+
+
+@dataclass
+class CategoryState:
+    """Runtime (HBM) state for one category."""
+
+    category_id: int
+    ivf: IVFIndex | None = None  # None until the first centroid exists
+    centroid_db_ids: list[int] = field(default_factory=list)
+    doc_map: dict[int, int] = field(default_factory=dict)  # emb id -> doc id
+    lock: threading.RLock = field(default_factory=threading.RLock)
+    build_lock: threading.Lock = field(default_factory=threading.Lock)
+
+
+@dataclass(frozen=True)
+class SearchHit:
+    document_id: int
+    similarity: float
+    name: str
+    external_id: str
+    document: Any
+
+
+class Engine:
+    def __init__(
+        self,
+        store: Store,
+        ai: AIProvider,
+        snapshot_dir: str | None = None,
+        cache: EngineCache | None = None,
+    ):
+        self.store = store
+        self.ai = ai
+        self.snapshot_dir = snapshot_dir
+        self.cache = cache or EngineCache()
+        self.cache.start()
+        self._states: dict[int, CategoryState] = {}
+        self._states_lock = threading.Lock()
+        self._boot()
+
+    def close(self):
+        self.cache.close()
+
+    # ------------------------------------------------------------------ boot
+
+    def _boot(self):
+        """Load every category's index from snapshot or SQL."""
+        for cat in self.store.all_categories():
+            self._states[cat.id] = self._load_category(cat.id)
+
+    def _load_category(self, category_id: int) -> CategoryState:
+        state = CategoryState(category_id=category_id)
+        cent_rows = self.store.centroids(category_id)
+        if not cent_rows:
+            return state
+        state.centroid_db_ids = [r.id for r in cent_rows]
+        state.doc_map = self.store.embedding_doc_map(category_id)
+
+        centroids = np.stack(
+            [
+                codec.dequantize(np.frombuffer(r.vector, np.uint8))
+                for r in cent_rows
+            ]
+        ).astype(np.float32)
+
+        restored = self._try_restore_snapshot(category_id, centroids)
+        if restored is not None:
+            state.ivf = restored
+            return state
+
+        # stream wire rows out of SQL and pack (boot fallback)
+        wires, ids = [], []
+        for batch in self.store.iter_embeddings(
+            category_id, batch=constants.BATCH_SIZE_DATABASE
+        ):
+            for emb_id, vec, _doc_id in batch:
+                wires.append(np.frombuffer(vec, np.uint8))
+                ids.append(emb_id)
+        if not wires:
+            state.ivf = IVFIndex.build(
+                layout.empty(centroids.shape[1]),
+                np.zeros((0,), np.int64),
+                centroids,
+            )
+            return state
+        packed = layout.pack_wire(np.stack(wires))
+        state.ivf = IVFIndex.build(packed, np.asarray(ids, np.int64), centroids)
+        return state
+
+    # -------------------------------------------------------------- snapshots
+
+    def _try_restore_snapshot(self, category_id: int, centroids) -> IVFIndex | None:
+        if self.snapshot_dir is None:
+            return None
+        loaded = snapshots.load(self.snapshot_dir, f"cat-{category_id}")
+        if loaded is None:
+            return None
+        meta, arrays = loaded
+        n_db = self.store.count_embeddings(category_id)
+        if meta.get("n") != n_db:
+            sugar().info(
+                "snapshot for category %d stale (%s vs %d rows), rebuilding",
+                category_id,
+                meta.get("n"),
+                n_db,
+            )
+            return None
+        packed = PackedVectors(
+            codes=arrays["codes"],
+            scale=arrays["scale"],
+            offset=arrays["offset"],
+            inv_norm=arrays["inv_norm"],
+        )
+        return IVFIndex.build(
+            packed,
+            arrays["ids"],
+            arrays.get("centroids", centroids),
+            assignments=arrays.get("assignments"),
+        )
+
+    def _save_snapshot(self, category_id: int, ivf: IVFIndex):
+        if self.snapshot_dir is None:
+            return
+        packed, ids = ivf.export_live()
+        assignments = None
+        try:
+            assignments = ivf.assign(packed)
+        except Exception:
+            pass
+        arrays = {
+            "codes": np.asarray(packed.codes),
+            "scale": np.asarray(packed.scale),
+            "offset": np.asarray(packed.offset),
+            "inv_norm": np.asarray(packed.inv_norm),
+            "ids": np.asarray(ids),
+            "centroids": np.asarray(ivf.centroids),
+        }
+        if assignments is not None:
+            arrays["assignments"] = assignments
+        scope = f"cat-{category_id}"
+        snapshots.save(self.snapshot_dir, scope, arrays, {"n": len(ids)})
+        snapshots.prune(self.snapshot_dir, scope, keep=2)
+
+    # ------------------------------------------------------------------ state
+
+    def _state_for(self, category_id: int, create: bool = True) -> CategoryState:
+        with self._states_lock:
+            st = self._states.get(category_id)
+            if st is None and create:
+                st = CategoryState(category_id=category_id)
+                self._states[category_id] = st
+            return st
+
+    # ----------------------------------------------------------------- upload
+
+    def upload(
+        self, owner_name: str, category_name: str, documents: list[dict]
+    ) -> list[int]:
+        """Embed + persist + index a batch of documents
+        (reference: server/upload.go:111-323). Returns document ids."""
+        if not documents:
+            raise ValueError("no documents provided")
+        txid = next_txid()
+
+        # 1. flatten/split/prefix -> embedding inputs
+        sections_per_doc: list[int] = []
+        inputs: list[str] = []
+        ctx = self.ai.embed_ctx_num()
+        for doc in documents:
+            prefix = document_prefix(doc.get("name", ""))
+            text = flatten(doc.get("document"))
+            sections = split(prefix, text, ctx)
+            sections = [f"search_document: {s}" for s in sections]
+            sections_per_doc.append(len(sections))
+            inputs.extend(sections)
+
+        # 2. embed (wire rows come back quantized)
+        wires = self.ai.embed(inputs, self.ai.embed_model())
+        if len(wires) != len(inputs):
+            raise RuntimeError("invalid response embeddings count")
+        wire_mat = np.stack([np.asarray(w, np.uint8) for w in wires])
+        packed = layout.pack_wire(wire_mat)
+
+        # 3. owner / category (create on miss, via cache singleflight)
+        owner = self.cache.owners.get_or_load(
+            owner_name, lambda: self.store.get_or_create_owner(owner_name)
+        )
+        category = self.cache.categories.get_or_load(
+            (category_name, owner.id),
+            lambda: self.store.get_or_create_category(owner.id, category_name),
+        )
+        state = self._state_for(category.id)
+
+        with state.lock:
+            # 4. first-ever embedding bootstraps centroid #1
+            #    (reference: server/upload.go:215-226)
+            if state.ivf is None:
+                cent_id = self.store.create_centroid(
+                    category.id, wire_mat[0].tobytes()
+                )
+                centroids = codec.dequantize(wire_mat[:1]).astype(np.float32)
+                state.ivf = IVFIndex.build(
+                    layout.empty(centroids.shape[1]),
+                    np.zeros((0,), np.int64),
+                    centroids,
+                )
+                state.centroid_db_ids = [cent_id]
+                self.cache.centroids.invalidate(category.id)
+
+            # 5. assign to nearest centroid (device)
+            cids = state.ivf.assign(packed)
+
+            # 6. persist documents then embeddings (SQL)
+            doc_rows = [
+                (d.get("name", ""), d.get("external_id", ""), d.get("document"))
+                for d in documents
+            ]
+            doc_ids = self.store.insert_documents(category.id, doc_rows)
+            emb_rows = []
+            per_emb_doc = []
+            cursor = 0
+            for doc_id, n_sections in zip(doc_ids, sections_per_doc):
+                for _ in range(n_sections):
+                    emb_rows.append(
+                        (
+                            wire_mat[cursor].tobytes(),
+                            doc_id,
+                            state.centroid_db_ids[int(cids[cursor])],
+                        )
+                    )
+                    per_emb_doc.append(doc_id)
+                    cursor += 1
+            emb_ids = self.store.insert_embeddings(emb_rows)
+
+            # 7. stream into the HBM index (append-without-rebuild)
+            state.ivf = state.ivf.insert(
+                packed, np.asarray(emb_ids, np.int64), cids=cids
+            )
+            state.doc_map.update(zip(emb_ids, per_emb_doc))
+
+        sugar().info("%d upload: %d documents, %d embeddings", txid, len(doc_ids), len(emb_ids))
+        return doc_ids
+
+    # ----------------------------------------------------------------- search
+
+    def search(
+        self,
+        owner_name: str,
+        category_name: str,
+        text: str,
+        count: int = 10,
+        offset: int = 0,
+        centroids: int = 0,
+    ) -> list[SearchHit]:
+        """IVF search (reference: server/search.go:115-334). `centroids` is
+        nprobe: 0 -> 1, negative -> all."""
+        txid = next_txid()
+        count = max(1, min(int(count), MAX_RESULTS))
+        offset = max(0, int(offset))
+        nprobe = int(centroids)
+        if nprobe == 0:
+            nprobe = 1
+
+        owner = self.cache.owners.get_or_load(
+            owner_name, lambda: self.store.get_owner(owner_name)
+        )
+        if owner is None:
+            return []
+        category = self.cache.categories.get_or_load(
+            (category_name, owner.id),
+            lambda: self.store.get_category(owner.id, category_name),
+        )
+        if category is None:
+            return []
+        state = self._state_for(category.id, create=False)
+        if state is None or state.ivf is None or state.ivf.n_live == 0:
+            return []
+        ivf = state.ivf  # snapshot reference; search is lock-free
+
+        # embed query with the search_query prefix (server/search.go:127-139)
+        wire = self.ai.embed([f"search_query: {text}"], self.ai.embed_model())[0]
+        query = codec.dequantize(np.asarray(wire, np.uint8)[None])
+
+        # Over-fetch to survive per-document dedup (multiple sections per
+        # doc), rounded up to a power-of-two size class so jit programs are
+        # reused across requests (k is a static shape parameter).
+        want = count + offset
+        k = 16
+        while k < want * 4:
+            k *= 2
+        k = min(k, 1024)
+        scores, emb_ids = ivf.search(query, k=k, nprobe=nprobe)
+
+        hits: list[tuple[int, float]] = []
+        seen: set[int] = set()
+        for emb_id, score in zip(emb_ids[0], scores[0]):
+            if emb_id < 0:
+                continue
+            doc_id = state.doc_map.get(int(emb_id))
+            if doc_id is None or doc_id in seen:
+                continue
+            seen.add(doc_id)
+            hits.append((doc_id, float(score)))
+            if len(hits) >= want:
+                break
+        hits = hits[offset : offset + count]
+        if not hits:
+            return []
+
+        docs = {d.id: d for d in self.store.fetch_documents([h[0] for h in hits])}
+        out = []
+        for doc_id, score in hits:
+            d = docs.get(doc_id)
+            if d is None:
+                continue
+            out.append(
+                SearchHit(
+                    document_id=doc_id,
+                    similarity=score,
+                    name=d.name,
+                    external_id=d.external_id,
+                    document=d.document,
+                )
+            )
+        sugar().info("%d search: %d hits", txid, len(out))
+        return out
+
+    # ------------------------------------------------------------------- chat
+
+    def chat(
+        self,
+        text: str,
+        prefix: str = "",
+        history: list[str] | None = None,
+        document_ids: list[int] | None = None,
+        documents: list[Any] | None = None,
+    ) -> Iterator[str]:
+        """Streaming RAG chat (reference: server/chat.go:109-181). History
+        entries alternate user/assistant; fetched documents are flattened
+        into triple-quoted context blocks."""
+        documents = list(documents or [])
+        if document_ids:
+            for d in self.store.fetch_documents(list(document_ids)):
+                documents.append(d.document)
+
+        messages = []
+        for idx, content in enumerate(history or []):
+            messages.append(
+                {
+                    "role": "user" if idx % 2 == 0 else "assistant",
+                    "content": content,
+                }
+            )
+
+        query_parts = []
+        if documents:
+            plural = "s" if len(documents) > 1 else ""
+            query_parts.append(
+                f"I have {len(documents)} text document that I'd like to use "
+                f"as context for my question. Here's the relevant part{plural}:\n\n"
+            )
+            for doc in documents:
+                query_parts.append(f'"""{flatten(doc)}"""\n')
+            query_parts.append("\n")
+        query_parts.append("My question is: ")
+        if prefix:
+            text = f"{prefix}. {text}"
+        query_parts.append(text)
+        messages.append({"role": "user", "content": "".join(query_parts)})
+
+        return self.ai.chat_stream(messages, self.ai.chat_model())
+
+    # ------------------------------------------------------------------ fetch
+
+    def fetch_category_names(self, owner_name: str) -> list[str]:
+        owner = self.store.get_owner(owner_name)
+        if owner is None:
+            return []
+        return self.store.category_names(owner.id)
+
+    # ----------------------------------------------------------------- delete
+
+    def delete_owner(self, owner_name: str) -> None:
+        owner = self.store.get_owner(owner_name)
+        if owner is not None:
+            for cat in self.store.all_categories():
+                if cat.owner_id == owner.id:
+                    self._drop_state(cat.id)
+            self.store.delete_owner(owner_name)
+        self.cache.invalidate_all()
+
+    def delete_category(self, owner_name: str, category_name: str) -> None:
+        owner = self.store.get_owner(owner_name)
+        if owner is None:
+            return
+        cat = self.store.get_category(owner.id, category_name)
+        if cat is not None:
+            self._drop_state(cat.id)
+            self.store.delete_category(owner.id, category_name)
+        self.cache.invalidate_all()
+
+    def delete_document(
+        self, owner_name: str, category_name: str, document_id: int
+    ) -> None:
+        owner = self.store.get_owner(owner_name)
+        if owner is None:
+            return
+        cat = self.store.get_category(owner.id, category_name)
+        if cat is None:
+            return
+        state = self._state_for(cat.id, create=False)
+        emb_ids = self.store.embeddings_for_documents([document_id])
+        self.store.delete_document(cat.id, document_id)
+        if state is not None and state.ivf is not None and emb_ids:
+            with state.lock:
+                state.ivf = state.ivf.remove_ids(np.asarray(emb_ids, np.int64))
+                for e in emb_ids:
+                    state.doc_map.pop(e, None)
+
+    def _drop_state(self, category_id: int):
+        with self._states_lock:
+            self._states.pop(category_id, None)
+        if self.snapshot_dir is not None:
+            snapshots.purge(self.snapshot_dir, f"cat-{category_id}")
+
+    # ---------------------------------------------------------------- rebuild
+
+    def refresh_centroids(self, **build_kwargs) -> dict[int, bool]:
+        """Rebuild every category's centroid set (reference:
+        server/centroids.go:17-83, launched once at startup main.go:92).
+        Returns {category_id: rebuilt?}. Categories whose build lock is held
+        by another thread are skipped, not retried (reference behaviour)."""
+        results = {}
+        for cat in self.store.all_categories():
+            results[cat.id] = self.refresh_category(cat.id, **build_kwargs)
+        return results
+
+    def refresh_category(self, category_id: int, **build_kwargs) -> bool:
+        state = self._state_for(category_id, create=False)
+        if state is None or state.ivf is None:
+            return False
+        if not state.build_lock.acquire(blocking=False):
+            sugar().info("category %d build already in progress, skipping", category_id)
+            return False
+        try:
+            ivf = state.ivf
+            packed, ids = ivf.export_live()
+            if len(ids) == 0:
+                return False
+            result = build_centroids(packed, mesh=build_kwargs.pop("mesh", None), **build_kwargs)
+            new_ivf = IVFIndex.build(
+                packed, ids, result.centroids, assignments=result.assignments
+            )
+            # persist: wire-encode centroids, swap rows + remap embeddings
+            cent_wires = [
+                codec.quantize(result.centroids[i]).tobytes()
+                for i in range(result.centroids.shape[0])
+            ]
+            reassign = {
+                int(eid): int(c) for eid, c in zip(ids, result.assignments)
+            }
+            new_db_ids = self.store.replace_centroids(
+                category_id, cent_wires, reassign
+            )
+            with state.lock:
+                state.ivf = new_ivf
+                state.centroid_db_ids = list(new_db_ids)
+            self.cache.centroids.invalidate(category_id)
+            self._save_snapshot(category_id, new_ivf)
+            sugar().info(
+                "category %d rebuilt: %d centroids over %d vectors",
+                category_id,
+                result.centroids.shape[0],
+                len(ids),
+            )
+            return True
+        finally:
+            state.build_lock.release()

@@ -274,18 +274,27 @@ class IVFIndex:
 
     # ---- mutation ----
 
-    def insert(self, new: PackedVectors, ids: np.ndarray) -> "IVFIndex":
+    def assign(self, new: PackedVectors) -> np.ndarray:
+        """Nearest-centroid cluster index for each new row."""
+        host = PackedVectors(*[np.asarray(a) for a in new])
+        _, cid = cosine.nearest_centroid(
+            PackedVectors(*[jnp.asarray(a) for a in host]), self.centroids_n
+        )
+        return np.asarray(cid, np.int64)
+
+    def insert(
+        self, new: PackedVectors, ids: np.ndarray, cids: np.ndarray | None = None
+    ) -> "IVFIndex":
         """Append-without-rebuild: assign to nearest centroid, scatter into
-        buckets; rows that don't fit spill to the flat tail."""
+        buckets; rows that don't fit spill to the flat tail. `cids` lets the
+        caller supply a precomputed assignment (the engine persists the same
+        assignment to SQL)."""
         m = int(np.shape(new.codes)[0])
         if m == 0:
             return self
         ids = np.asarray(ids, np.int64)
         new_host = PackedVectors(*[np.asarray(a) for a in new])
-        _, cid = cosine.nearest_centroid(
-            PackedVectors(*[jnp.asarray(a) for a in new_host]), self.centroids_n
-        )
-        cid = np.asarray(cid, np.int64)
+        cid = self.assign(new_host) if cids is None else np.asarray(cids, np.int64)
 
         # Host slot allocation: sequential slots per cluster, duplicates get
         # consecutive positions.
