@@ -70,7 +70,10 @@ def _addr(spec: str) -> tuple[str | None, int]:
 
 async def serve(cfg: config_mod.Config, engine: Engine):
     app = build_app(engine)
-    runner = web.AppRunner(app)
+    # auto_decompress=False: aiohttp's parser has no zstd codec; the app's
+    # middleware decompresses request bodies itself (reference middleware:
+    # main.go:129-166)
+    runner = web.AppRunner(app, auto_decompress=False)
     await runner.setup()
 
     http_host, http_port = _addr(cfg.server.http_address)

@@ -4,9 +4,9 @@ word-hash embedder."""
 import asyncio
 import json
 
-import numpy as np
+import aiohttp
 import pytest
-from aiohttp.test_utils import TestClient, TestServer
+from aiohttp import web
 
 from vectorsearch_tpu import constants
 from vectorsearch_tpu.api import build_app
@@ -31,16 +31,44 @@ def engine():
     store.close()
 
 
+class Client:
+    """Thin client against the production-configured AppRunner."""
+
+    def __init__(self, session: aiohttp.ClientSession, base: str):
+        self.session = session
+        self.base = base
+
+    def make_url(self, path: str) -> str:
+        return self.base + path
+
+    def request(self, method, path, **kw):
+        return self.session.request(method, self.make_url(path), **kw)
+
+    def post(self, path, **kw):
+        return self.session.post(self.make_url(path), **kw)
+
+    def get(self, path, **kw):
+        return self.session.get(self.make_url(path), **kw)
+
+    def put(self, path, **kw):
+        return self.session.put(self.make_url(path), **kw)
+
+
 def run(engine, coro_fn):
     async def runner():
         app = build_app(engine)
-        server = TestServer(app)
-        client = TestClient(server)
-        await client.start_server()
-        try:
-            return await coro_fn(client)
-        finally:
-            await client.close()
+        # production config: zstd handled by app middleware, not the parser
+        app_runner = web.AppRunner(app, auto_decompress=False)
+        await app_runner.setup()
+        site = web.TCPSite(app_runner, "127.0.0.1", 0)
+        await site.start()
+        port = site._server.sockets[0].getsockname()[1]
+        async with aiohttp.ClientSession() as session:
+            client = Client(session, f"http://127.0.0.1:{port}")
+            try:
+                return await coro_fn(client)
+            finally:
+                await app_runner.cleanup()
 
     return asyncio.run(runner())
 
@@ -118,9 +146,21 @@ def test_zstd_request_and_response(engine):
             ) as r:
                 assert r.status == 200
                 raw = await r.read()
+                # small responses skip compression; decode accordingly
+                if r.headers.get("Content-Encoding") == "zstd":
+                    raw = decompress(raw)
+            assert len(json.loads(raw)["document_ids"]) == 3
+
+            # a search response is large enough to come back compressed
+            async with sess.post(
+                client.make_url("/api/search"),
+                json={"owner": "a", "category": "c", "text": "banana", "count": 3},
+                headers={"Accept-Encoding": "zstd"},
+            ) as r:
+                assert r.status == 200
                 assert r.headers.get("Content-Encoding") == "zstd"
-                raw = decompress(raw)
-        assert len(json.loads(raw)["document_ids"]) == 3
+                res = json.loads(decompress(await r.read()))
+        assert res["documents"]
 
     run(engine, flow)
 
