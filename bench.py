@@ -1,0 +1,186 @@
+"""Headline benchmark: QPS/chip at recall@10 on 1M x 768 int8 IVF.
+
+BASELINE.json north star: >= 10,000 QPS/chip at recall@10 >= the reference
+uint8 IVF pipeline on 1M x 768 with 1024 centroids. The reference publishes
+no numbers (BASELINE.md), so vs_baseline is reported against the 10k QPS/chip
+target.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Extra measurements (build time, recall, per-nprobe sweep) go to stderr.
+
+Runs on the real TPU (default platform). Scale down for smoke runs with
+VSTPU_BENCH_N / VSTPU_BENCH_K / VSTPU_BENCH_DIM.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+N = int(os.environ.get("VSTPU_BENCH_N", 1_000_000))
+DIM = int(os.environ.get("VSTPU_BENCH_DIM", 768))
+K_CLUSTERS = int(os.environ.get("VSTPU_BENCH_K", 1024))
+N_QUERIES = int(os.environ.get("VSTPU_BENCH_QUERIES", 512))
+BATCH = int(os.environ.get("VSTPU_BENCH_BATCH", 128))
+NPROBE = int(os.environ.get("VSTPU_BENCH_NPROBE", 8))
+TOPK = 10
+
+
+def log(msg, *args):
+    print(msg % args if args else msg, file=sys.stderr, flush=True)
+
+
+def make_corpus(n, dim, k, seed=0):
+    """Clustered synthetic corpus (vectorpedia-style locality)."""
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(k, dim)).astype(np.float32)
+    assign = rng.integers(0, k, size=n)
+    noise = rng.normal(size=(n, dim)).astype(np.float32)
+    return centers[assign] * 2.0 + noise
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from vectorsearch_tpu.build import build_centroids
+    from vectorsearch_tpu.index import IVFIndex
+    from vectorsearch_tpu.index.ivf import _ivf_scan
+    from vectorsearch_tpu.kernels import cosine
+    from vectorsearch_tpu.quant import layout
+
+    log("bench: devices=%s", jax.devices())
+    t0 = time.perf_counter()
+    data = make_corpus(N, DIM, K_CLUSTERS)
+    log("bench: generated %dx%d corpus in %.1fs", N, DIM, time.perf_counter() - t0)
+
+    t0 = time.perf_counter()
+    packed = layout.pack_float(data)
+    log("bench: quantized+packed in %.1fs", time.perf_counter() - t0)
+
+    # ---- index build (sharded Lloyd's; BASELINE config 4 analogue) ----
+    t0 = time.perf_counter()
+    result = build_centroids(
+        packed,
+        k=K_CLUSTERS,
+        max_iters=int(os.environ.get("VSTPU_BENCH_ITERS", 10)),
+        superset_iters=4,
+        chunk=65_536,
+    )
+    build_s = time.perf_counter() - t0
+    log(
+        "bench: k-means build %d centroids over %d vectors: %.1fs (%d iters)",
+        result.centroids.shape[0], N, build_s, result.iterations,
+    )
+
+    t0 = time.perf_counter()
+    ids = np.arange(1, N + 1, dtype=np.int64)
+    ivf = IVFIndex.build(packed, ids, result.centroids, assignments=result.assignments)
+    log(
+        "bench: bucket pack in %.1fs (K=%d cap=%d)",
+        time.perf_counter() - t0, ivf.k_clusters, ivf.cap,
+    )
+
+    # ---- queries + f32 ground truth ----
+    rng = np.random.default_rng(123)
+    q_idx = rng.choice(N, size=N_QUERIES, replace=False)
+    queries = data[q_idx] + rng.normal(size=(N_QUERIES, DIM)).astype(np.float32) * 0.1
+
+    t0 = time.perf_counter()
+    deq = layout.unpack(packed)  # ground truth over what the index stores
+    truth = np.empty((N_QUERIES, TOPK), np.int64)
+    qn = queries / np.linalg.norm(queries, axis=-1, keepdims=True)
+    chunkq = 64
+    corpus_dev = jnp.asarray(deq)
+    corpus_dev = corpus_dev / jnp.linalg.norm(corpus_dev, axis=-1, keepdims=True)
+
+    @jax.jit
+    def exact_topk(q):
+        s = jnp.dot(q, corpus_dev.T, preferred_element_type=jnp.float32)
+        return jax.lax.top_k(s, TOPK)[1]
+
+    for i in range(0, N_QUERIES, chunkq):
+        truth[i : i + chunkq] = np.asarray(
+            exact_topk(jnp.asarray(qn[i : i + chunkq]))
+        )
+    del deq, corpus_dev
+    log("bench: f32 ground truth in %.1fs", time.perf_counter() - t0)
+
+    # ---- recall + QPS sweep ----
+    def run_queries(nprobe, batch):
+        outs = []
+        for i in range(0, N_QUERIES, batch):
+            s, gslot = _ivf_scan(
+                jnp.asarray(queries[i : i + batch]),
+                ivf.centroids_n,
+                ivf.buckets,
+                ivf.counts_dev,
+                ivf.bucket_mask,
+                nprobe=nprobe,
+                k=TOPK,
+            )
+            outs.append((np.asarray(s), np.asarray(gslot)))
+        return outs
+
+    best = None
+    flat_ids = ivf.ids.reshape(-1)
+    for nprobe in (1, NPROBE, min(64, K_CLUSTERS)):
+        outs = run_queries(nprobe, BATCH)  # compile + correctness pass
+        got = np.concatenate([o[1] for o in outs])[:N_QUERIES]
+        got_ids = flat_ids[np.clip(got, 0, flat_ids.size - 1)]
+        recall = np.mean(
+            [
+                len(set(got_ids[i]) & set(ids[truth[i]])) / TOPK
+                for i in range(N_QUERIES)
+            ]
+        )
+
+        # throughput: dispatch everything, block once
+        n_rounds = max(1, int(os.environ.get("VSTPU_BENCH_ROUNDS", 20)))
+        q_dev = jnp.asarray(queries[:BATCH])
+        _ivf_scan(
+            q_dev, ivf.centroids_n, ivf.buckets, ivf.counts_dev,
+            ivf.bucket_mask, nprobe=nprobe, k=TOPK,
+        )[0].block_until_ready()
+        t0 = time.perf_counter()
+        last = None
+        for _ in range(n_rounds):
+            last = _ivf_scan(
+                q_dev, ivf.centroids_n, ivf.buckets, ivf.counts_dev,
+                ivf.bucket_mask, nprobe=nprobe, k=TOPK,
+            )
+        last[0].block_until_ready()
+        dt = time.perf_counter() - t0
+        qps = BATCH * n_rounds / dt
+        log(
+            "bench: nprobe=%d recall@10=%.4f qps/chip=%.0f (batch %d)",
+            nprobe, recall, qps, BATCH,
+        )
+        if recall >= 0.90 and (best is None or qps > best[1]):
+            best = (nprobe, qps, recall)
+
+    if best is None:
+        # no config hit 90% recall; report the largest-nprobe run
+        best = (min(64, K_CLUSTERS), qps, recall)
+    nprobe, qps, recall = best
+    log(
+        "bench: HEADLINE nprobe=%d qps=%.0f recall@10=%.4f build=%.1fs",
+        nprobe, qps, recall, build_s,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": f"QPS/chip at recall@10>=0.9 (1Mx768 int8 IVF, nprobe={nprobe}, recall={recall:.4f}, build={build_s:.0f}s)",
+                "value": round(qps, 1),
+                "unit": "qps",
+                "vs_baseline": round(qps / 10_000.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -11,15 +11,20 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-# Force CPU: the shell presets JAX_PLATFORMS=axon (tunneled TPU), which a
-# setdefault would NOT override — and unit tests must run on the local
-# 8-device virtual CPU mesh, not through the tunnel.
-os.environ["JAX_PLATFORMS"] = "cpu"
-# Persistent compile cache: XLA:CPU compiles of int8 scan kernels are slow;
-# cache them across test runs.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.cache/jax")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+import jax
+
+# Force CPU at the CONFIG level: this machine's axon (tunneled TPU) plugin
+# sets jax_platforms="axon,cpu" in jax.config during import, which
+# overrides the JAX_PLATFORMS env var. Unit tests must run on the local
+# 8-device virtual CPU mesh, not through the TPU tunnel.
+jax.config.update("jax_platforms", "cpu")
+
+# Persistent compile cache: XLA:CPU compiles of the scan kernels dominate
+# test time; cache them across runs/processes. (The env-var route does not
+# reliably enable the cache on CPU; explicit config does.)
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.cache/jax")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 import numpy as np
 import pytest
