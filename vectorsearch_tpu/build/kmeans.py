@@ -258,6 +258,7 @@ def build_centroids(
     mesh: Mesh | None = None,
     seed: int = 0,
     k: int | None = None,
+    superset_iters: int = 25,
 ) -> KMeansResult:
     """Full index build: k = ceil(n / target), k-means, drop small clusters,
     reassign and recenter. Replaces dnc.KMeansDivideAndConquer
@@ -269,7 +270,8 @@ def build_centroids(
         min_cluster_size = max(1, target_cluster_size // 10)
 
     result = kmeans(
-        packed, k, max_iters=max_iters, chunk=chunk, mesh=mesh, seed=seed
+        packed, k, max_iters=max_iters, chunk=chunk, mesh=mesh, seed=seed,
+        superset_iters=superset_iters,
     )
     if result.centroids.shape[0] <= 1:
         return result

@@ -43,6 +43,12 @@ def quantize(v: np.ndarray) -> np.ndarray:
     v = np.asarray(v)
     if v.dtype not in (np.float32, np.float64):
         v = v.astype(np.float32)
+    if v.dtype == np.float32 and v.ndim == 2:
+        from .. import native
+
+        fast = native.quantize_f32(v)
+        if fast is not None:
+            return fast
     vmin, vmax = _range_including_zero(v)
 
     # Quantization arithmetic happens in the input dtype (f32 or f64),
@@ -81,6 +87,13 @@ def payload(wire: np.ndarray) -> np.ndarray:
 
 def dequantize(wire: np.ndarray, dtype=np.float32) -> np.ndarray:
     """Dequantize wire rows back to float vectors of the given dtype."""
+    wire_arr = np.asarray(wire, dtype=np.uint8)
+    if dtype == np.float32 and wire_arr.ndim == 2:
+        from .. import native
+
+        fast = native.dequantize_f32(wire_arr)
+        if fast is not None:
+            return fast
     vmin, vmax = parse_header(wire)
     q = payload(wire)
     vmin = vmin.astype(dtype)

@@ -58,8 +58,17 @@ class PackedVectors(NamedTuple):
 
 
 def pack_wire(wire: np.ndarray) -> PackedVectors:
-    """Build the device layout from wire-format rows (host-side, numpy)."""
+    """Build the device layout from wire-format rows (host-side; native C++
+    fast path when available, numpy otherwise)."""
     wire = np.atleast_2d(np.asarray(wire, dtype=np.uint8))
+    from .. import native
+
+    fast = native.pack_wire(wire)
+    if fast is not None:
+        codes, scale, offset, inv_norm = fast
+        return PackedVectors(
+            codes=codes, scale=scale, offset=offset, inv_norm=inv_norm
+        )
     vmin, vmax = codec.parse_header(wire)
     q = codec.payload(wire)
     scale = (vmax - vmin) / np.float32(255)
