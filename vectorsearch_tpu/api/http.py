@@ -220,7 +220,19 @@ def build_app(engine: Engine) -> web.Application:
             os.path.join(STATIC_DIR, "openapi.yml"),
         )
 
+    async def stats(request):
+        loop = asyncio.get_running_loop()
+        data = await loop.run_in_executor(None, engine.stats)
+        try:
+            from ..utils import device_memory_stats
+
+            data["devices"] = device_memory_stats()
+        except Exception:
+            pass
+        return web.json_response(data)
+
     app.router.add_get("/", index)
     app.router.add_get("/api", api_docs)
     app.router.add_get("/api/openapi.yml", openapi)
+    app.router.add_get("/api/stats", stats)
     return app

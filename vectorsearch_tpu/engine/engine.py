@@ -461,6 +461,28 @@ class Engine:
         if self.snapshot_dir is not None:
             snapshots.purge(self.snapshot_dir, f"cat-{category_id}")
 
+    # ------------------------------------------------------------------ stats
+
+    def stats(self) -> dict:
+        """Runtime stats for observability (no reference equivalent; the
+        reference only logs — SURVEY.md §5)."""
+        cats = {}
+        with self._states_lock:
+            states = dict(self._states)
+        for cid, st in states.items():
+            ivf = st.ivf
+            cats[cid] = {
+                "live_vectors": ivf.n_live if ivf else 0,
+                "clusters": ivf.k_clusters if ivf else 0,
+                "bucket_capacity": ivf.cap if ivf else 0,
+                "spill": ivf.spill.live if ivf else 0,
+                "dim": ivf.dim if ivf else 0,
+                "hbm_bytes": (
+                    int(np.prod(ivf.buckets.codes.shape)) if ivf else 0
+                ),
+            }
+        return {"categories": cats}
+
     # ---------------------------------------------------------------- rebuild
 
     def refresh_centroids(self, **build_kwargs) -> dict[int, bool]:
