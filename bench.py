@@ -66,6 +66,7 @@ def main():
     result = build_centroids(
         packed,
         k=K_CLUSTERS,
+        min_cluster_size=max(1, (N // K_CLUSTERS) // 10),
         max_iters=int(os.environ.get("VSTPU_BENCH_ITERS", 10)),
         superset_iters=4,
         chunk=65_536,
@@ -90,23 +91,31 @@ def main():
     queries = data[q_idx] + rng.normal(size=(N_QUERIES, DIM)).astype(np.float32) * 0.1
 
     t0 = time.perf_counter()
-    deq = layout.unpack(packed)  # ground truth over what the index stores
     truth = np.empty((N_QUERIES, TOPK), np.int64)
     qn = queries / np.linalg.norm(queries, axis=-1, keepdims=True)
     chunkq = 64
-    corpus_dev = jnp.asarray(deq)
-    corpus_dev = corpus_dev / jnp.linalg.norm(corpus_dev, axis=-1, keepdims=True)
+    # ground truth over what the index stores (dequantized corpus), via the
+    # int-free scan oracle; corpus passed as an ARG (a closure constant
+    # would be baked into the HLO and blow up remote compilation)
+    deq = layout.unpack(packed)
+    corpus_dev = jnp.asarray(deq / np.linalg.norm(deq, axis=-1, keepdims=True))
+    del deq
 
     @jax.jit
-    def exact_topk(q):
-        s = jnp.dot(q, corpus_dev.T, preferred_element_type=jnp.float32)
+    def exact_topk(q, corpus):
+        s = jnp.dot(
+            q,
+            corpus.T,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
         return jax.lax.top_k(s, TOPK)[1]
 
     for i in range(0, N_QUERIES, chunkq):
         truth[i : i + chunkq] = np.asarray(
-            exact_topk(jnp.asarray(qn[i : i + chunkq]))
+            exact_topk(jnp.asarray(qn[i : i + chunkq]), corpus_dev)
         )
-    del deq, corpus_dev
+    del corpus_dev
     log("bench: f32 ground truth in %.1fs", time.perf_counter() - t0)
 
     # ---- recall + QPS sweep ----
