@@ -1,0 +1,72 @@
+"""Fused Pallas IVF scan vs the XLA reference path (interpret mode on CPU;
+the compiled kernel is exercised on real TPU by bench.py)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vectorsearch_tpu import constants
+from vectorsearch_tpu.index import IVFIndex
+from vectorsearch_tpu.index.ivf import _ivf_scan
+from vectorsearch_tpu.kernels.pallas_scan import ivf_scan_pallas
+from vectorsearch_tpu.quant import layout
+
+
+@pytest.fixture(autouse=True)
+def small_buckets(monkeypatch):
+    monkeypatch.setattr(constants, "BUCKET_ROUND", 64)
+
+
+def make_ivf(n_per=40, k=8, d=128, seed=2):
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(k, d)).astype(np.float32) * 5
+    pts = (centers[:, None, :] + rng.normal(size=(k, n_per, d))).astype(np.float32)
+    v = pts.reshape(-1, d)
+    packed = layout.pack_float(v)
+    ids = np.arange(1, len(v) + 1, dtype=np.int64)
+    return IVFIndex.build(packed, ids, centers), v
+
+
+@pytest.mark.parametrize("nprobe", [1, 3, 8])
+def test_pallas_matches_xla_scan(nprobe):
+    ivf, v = make_ivf()
+    q = jnp.asarray(v[:5] + 0.01, jnp.float32)
+    s_ref, i_ref = _ivf_scan(
+        q, ivf.centroids_n, ivf.buckets, ivf.counts_dev, ivf.bucket_mask,
+        nprobe=nprobe, k=5,
+    )
+    s_pal, i_pal = ivf_scan_pallas(
+        q, ivf.centroids_n, ivf.buckets, ivf.counts_dev, ivf.bucket_mask,
+        nprobe=nprobe, k=5, interpret=True,
+    )
+    s_ref, i_ref = np.asarray(s_ref), np.asarray(i_ref)
+    s_pal, i_pal = np.asarray(s_pal), np.asarray(i_pal)
+    # same candidates modulo float-order near-ties
+    np.testing.assert_allclose(s_pal, s_ref, atol=2e-3)
+    for a, b in zip(i_pal, i_ref):
+        assert len(set(a) & set(b)) >= 4
+
+
+def test_pallas_masks_tombstones():
+    ivf, v = make_ivf(n_per=10, k=2)
+    # tombstone the first data row
+    ivf = ivf.remove_ids(np.array([1]))
+    q = jnp.asarray(v[:1] + 0.001, jnp.float32)
+    s, gslot = ivf_scan_pallas(
+        q, ivf.centroids_n, ivf.buckets, ivf.counts_dev, ivf.bucket_mask,
+        nprobe=2, k=3, interpret=True,
+    )
+    flat_ids = ivf.ids.reshape(-1)
+    got = flat_ids[np.clip(np.asarray(gslot), 0, flat_ids.size - 1)]
+    assert 1 not in got[0]
+
+
+def test_pallas_k_larger_than_valid():
+    ivf, v = make_ivf(n_per=3, k=2)
+    q = jnp.asarray(v[:1], jnp.float32)
+    s, i = ivf_scan_pallas(
+        q, ivf.centroids_n, ivf.buckets, ivf.counts_dev, ivf.bucket_mask,
+        nprobe=1, k=8, interpret=True,
+    )
+    s = np.asarray(s)
+    assert np.isfinite(s[0][:3]).all()
+    assert np.isneginf(s[0][3:]).all()
