@@ -48,7 +48,8 @@ def main():
 
     from vectorsearch_tpu.build import build_centroids
     from vectorsearch_tpu.index import IVFIndex
-    from vectorsearch_tpu.index.ivf import _ivf_scan
+    from vectorsearch_tpu.index.ivf import _scan_impl
+    scan = _scan_impl()
     from vectorsearch_tpu.kernels import cosine
     from vectorsearch_tpu.quant import layout
 
@@ -122,7 +123,7 @@ def main():
     def run_queries(nprobe, batch):
         outs = []
         for i in range(0, N_QUERIES, batch):
-            s, gslot = _ivf_scan(
+            s, gslot = scan(
                 jnp.asarray(queries[i : i + batch]),
                 ivf.centroids_n,
                 ivf.buckets,
@@ -135,6 +136,7 @@ def main():
         return outs
 
     best = None
+    qps = recall = 0.0
     flat_ids = ivf.ids.reshape(-1)
     for nprobe in (1, NPROBE, min(64, K_CLUSTERS)):
         outs = run_queries(nprobe, BATCH)  # compile + correctness pass
@@ -150,14 +152,14 @@ def main():
         # throughput: dispatch everything, block once
         n_rounds = max(1, int(os.environ.get("VSTPU_BENCH_ROUNDS", 20)))
         q_dev = jnp.asarray(queries[:BATCH])
-        _ivf_scan(
+        scan(
             q_dev, ivf.centroids_n, ivf.buckets, ivf.counts_dev,
             ivf.bucket_mask, nprobe=nprobe, k=TOPK,
         )[0].block_until_ready()
         t0 = time.perf_counter()
         last = None
         for _ in range(n_rounds):
-            last = _ivf_scan(
+            last = scan(
                 q_dev, ivf.centroids_n, ivf.buckets, ivf.counts_dev,
                 ivf.bucket_mask, nprobe=nprobe, k=TOPK,
             )

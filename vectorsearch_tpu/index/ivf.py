@@ -24,6 +24,7 @@ Global structure is only repaired by the next rebuild
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass, replace
 
 import jax
@@ -130,6 +131,22 @@ def _scatter_rows(
         ),
         bucket_mask.at[cid, slot].set(True),
     )
+
+
+def _scan_impl():
+    """Pick the bucket-scan kernel: the fused Pallas path on TPU (no
+    materialized gather — kernels/pallas_scan.py), the XLA gather path
+    elsewhere. VSTPU_NO_PALLAS=1 forces the XLA path."""
+    import jax
+
+    if (
+        os.environ.get("VSTPU_NO_PALLAS") != "1"
+        and jax.default_backend() == "tpu"
+    ):
+        from ..kernels.pallas_scan import ivf_scan_pallas
+
+        return ivf_scan_pallas
+    return _ivf_scan
 
 
 @dataclass(frozen=True)
@@ -239,7 +256,7 @@ class IVFIndex:
         if nprobe < 0:
             nprobe = self.k_clusters
         nprobe = max(1, min(nprobe, self.k_clusters))
-        scores, gslot = _ivf_scan(
+        scores, gslot = _scan_impl()(
             queries,
             self.centroids_n,
             self.buckets,

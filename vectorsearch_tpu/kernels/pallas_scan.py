@@ -2,15 +2,29 @@
 
 The XLA path (index/ivf.py _ivf_scan) materializes the gather of probed
 buckets before the batched GEMV: HBM traffic = gather-read + gather-write +
-dot-read = 3x the probed bytes. This kernel reads each probed bucket tile
-from HBM exactly once: scalar-prefetched cluster ids drive the BlockSpec
-index_map, so Pallas pipelines the HBM->VMEM streaming of
-[TILE_CAP, D] int8 code tiles directly (double-buffered DMA), scores them
-on-chip with the affine identity, and emits per-tile top-k candidates. A
-tiny XLA top_k then merges [B, nprobe*tiles*k] candidates.
+dot-read = 3x the probed code bytes, and the gather itself is
+O(B*nprobe*cap*D) HBM — 19 GB at B=128/nprobe=64/cap=3072/D=768, an OOM.
 
-This is SURVEY.md §7's "fuse correction + top-k in Pallas" (stage 3/4) and
-the "blockwise Pallas top-k" hard part: scores never round-trip to HBM.
+This kernel reads each probed bucket tile from HBM exactly once:
+scalar-prefetched cluster ids drive the BlockSpec index_maps, so Pallas
+pipelines the HBM->VMEM streaming of [TILE, D] int8 code tiles directly
+(double-buffered DMA), scores them on-chip, and writes only the f32
+scores — 4 bytes/row out vs 768 bytes/row in. jax.lax.top_k then reduces
+[B, nprobe*cap]. (SURVEY.md §7 stage 3/4: fused affine correction +
+blockwise scan.)
+
+The affine identity is refactored so the kernel is pure vector arithmetic
+(Mosaic on this toolchain cannot broadcast dynamic scalars across lanes,
+store scalars to VMEM, or handle 1-D vector layouts):
+
+    score[r] = a[r] * <codes[r], q> + bv[r] * qsum + bias[r]
+      a    = scale * inv_norm              (precomputed, [K, cap, 1])
+      bv   = offset * inv_norm             (precomputed, [K, cap, 1])
+      bias = 0 where live, -inf where padding/tombstone  ([K, cap, 1])
+      qsum is pre-broadcast to [B, TILE, 1] on the XLA side
+
+so masking needs no `count` scalar in-kernel and every intermediate is a
+2-D [TILE, 1] column (sublane-major) vector.
 """
 from __future__ import annotations
 
@@ -29,58 +43,24 @@ TILE_CAP = 1024  # bucket rows per grid step (int8 sublane multiple)
 
 def _scan_kernel(
     # scalar prefetch
-    probed_ref,  # int32 [B, nprobe]
-    counts_ref,  # int32 [K]
+    probed_ref,  # i32 [B, nprobe]
     # VMEM blocks
-    q_ref,  # bf16 [1, D]        query row b
-    qmeta_ref,  # f32  [1, 2]       (qsum, unused)
-    codes_ref,  # int8 [1, TILE, D]
-    scale_ref,  # f32  [1, TILE]
-    offset_ref,  # f32 [1, TILE]
-    inv_ref,  # f32   [1, TILE]
-    mask_ref,  # bool  [1, TILE]
-    # outputs
-    out_s_ref,  # f32 [1, 1, 1, k]
-    out_i_ref,  # i32 [1, 1, 1, k]
-    *,
-    k: int,
-    cap: int,
-    tile: int,
+    q_ref,  # bf16 [1, 1, D]     query row b (block-selected)
+    qsum_ref,  # f32 [1, TILE, 1] qsum pre-broadcast
+    codes_ref,  # i8  [1, TILE, D]
+    a_ref,  # f32 [1, TILE, 1]    scale * inv_norm
+    bv_ref,  # f32 [1, TILE, 1]   offset * inv_norm
+    bias_ref,  # f32 [1, TILE, 1] 0 live / -inf dead
+    # output
+    out_ref,  # f32 [1, 1, TILE, 1]
 ):
-    b = pl.program_id(0)
-    j = pl.program_id(1)
-    t = pl.program_id(2)
-    cid = probed_ref[b, j]
-    count = counts_ref[cid]
-
-    q = q_ref[0, :].astype(jnp.float32)  # [D]
+    q = q_ref[0, 0, :].astype(jnp.float32)  # [D]
     codes = codes_ref[0].astype(jnp.float32)  # [TILE, D]
-    dots = jnp.sum(codes * q[None, :], axis=1)  # [TILE] (VPU mul + reduce)
-
-    qsum = qmeta_ref[0, 0]
-    inner = offset_ref[0] * qsum + scale_ref[0] * dots
-    scores = inner * inv_ref[0]  # [TILE]
-
-    row = t * tile + jax.lax.broadcasted_iota(
-        jnp.int32, (tile, 1), 0
-    ).reshape(tile)
-    valid = (row < count) & mask_ref[0]
-    neg_inf = jnp.float32(float("-inf"))  # python literal: jnp module
-    # constants cannot be captured by pallas kernels
-    scores = jnp.where(valid, scores, neg_inf)
-
-    # k-pass max-extract (k is small and static; TILE is VPU-resident)
-    for step in range(k):
-        m = jnp.max(scores)
-        am = jnp.argmax(scores)
-        out_s_ref[0, 0, 0, step] = m
-        out_i_ref[0, 0, 0, step] = cid * cap + t * tile + am.astype(jnp.int32)
-        scores = jnp.where(row == t * tile + am, neg_inf, scores)
+    dots = jnp.sum(codes * q[None, :], axis=1, keepdims=True)  # [TILE, 1]
+    out_ref[0, 0] = a_ref[0] * dots + bv_ref[0] * qsum_ref[0] + bias_ref[0]
 
 
-@functools.partial(
-    jax.jit, static_argnames=("nprobe", "k", "interpret")
-)
+@functools.partial(jax.jit, static_argnames=("nprobe", "k", "interpret"))
 def ivf_scan_pallas(
     queries: jax.Array,
     centroids_n: jax.Array,
@@ -107,77 +87,64 @@ def ivf_scan_pallas(
     )
     _, probed = jax.lax.top_k(probe, nprobe)  # [B, nprobe]
 
-    qsum = jnp.sum(qn, axis=-1)
-    qmeta = jnp.stack([qsum, jnp.zeros_like(qsum)], axis=-1)  # [B, 2]
+    qsum = jnp.sum(qn, axis=-1)  # [B]
+    qsum_tile = jnp.broadcast_to(qsum[:, None, None], (b, tile, 1))
 
-    k_eff = min(k, tile)
+    # fold sidecars + padding/tombstone mask into kernel-ready columns
+    col = jax.lax.broadcasted_iota(jnp.int32, (kk, cap), 1)
+    valid = (col < counts[:, None]) & bucket_mask
+    a = (buckets.scale * buckets.inv_norm).reshape(kk, cap, 1)
+    bv = (buckets.offset * buckets.inv_norm).reshape(kk, cap, 1)
+    bias = jnp.where(valid, 0.0, cosine.NEG_INF).reshape(kk, cap, 1)
 
-    kernel = functools.partial(_scan_kernel, k=k_eff, cap=cap, tile=tile)
+    side_spec = pl.BlockSpec(
+        (1, tile, 1),
+        lambda b_, j_, t_, probed: (probed[b_, j_], t_, 0),
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=1,
         grid=(b, nprobe, tiles),
         in_specs=[
-            pl.BlockSpec((1, d), lambda b_, j_, t_, probed, counts: (b_, 0)),
-            pl.BlockSpec((1, 2), lambda b_, j_, t_, probed, counts: (b_, 0)),
+            pl.BlockSpec((1, 1, d), lambda b_, j_, t_, probed: (b_, 0, 0)),
+            pl.BlockSpec((1, tile, 1), lambda b_, j_, t_, probed: (b_, 0, 0)),
             pl.BlockSpec(
                 (1, tile, d),
-                lambda b_, j_, t_, probed, counts: (probed[b_, j_], t_, 0),
+                lambda b_, j_, t_, probed: (probed[b_, j_], t_, 0),
             ),
-            pl.BlockSpec(
-                (1, tile),
-                lambda b_, j_, t_, probed, counts: (probed[b_, j_], t_),
-            ),
-            pl.BlockSpec(
-                (1, tile),
-                lambda b_, j_, t_, probed, counts: (probed[b_, j_], t_),
-            ),
-            pl.BlockSpec(
-                (1, tile),
-                lambda b_, j_, t_, probed, counts: (probed[b_, j_], t_),
-            ),
-            pl.BlockSpec(
-                (1, tile),
-                lambda b_, j_, t_, probed, counts: (probed[b_, j_], t_),
-            ),
+            side_spec,
+            side_spec,
+            side_spec,
         ],
-        out_specs=[
-            pl.BlockSpec(
-                (1, 1, 1, k_eff),
-                lambda b_, j_, t_, probed, counts: (b_, j_, t_, 0),
-            ),
-            pl.BlockSpec(
-                (1, 1, 1, k_eff),
-                lambda b_, j_, t_, probed, counts: (b_, j_, t_, 0),
-            ),
-        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, tile, 1),
+            lambda b_, j_, t_, probed: (b_, j_, t_, 0),
+        ),
     )
-    cand_s, cand_i = pl.pallas_call(
-        kernel,
+    scores = pl.pallas_call(
+        _scan_kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((b, nprobe, tiles, k_eff), jnp.float32),
-            jax.ShapeDtypeStruct((b, nprobe, tiles, k_eff), jnp.int32),
-        ],
+        out_shape=jax.ShapeDtypeStruct((b, nprobe, cap, 1), jnp.float32),
         interpret=interpret,
     )(
         probed.astype(jnp.int32),
-        counts.astype(jnp.int32),
-        qn.astype(jnp.bfloat16),
-        qmeta,
+        qn.astype(jnp.bfloat16).reshape(b, 1, d),
+        qsum_tile,
         buckets.codes,
-        buckets.scale,
-        buckets.offset,
-        buckets.inv_norm,
-        bucket_mask,
+        a,
+        bv,
+        bias,
     )
 
-    # merge candidates (tiny): [B, nprobe*tiles*k_eff] -> top k
-    cand_s = cand_s.reshape(b, -1)
-    cand_i = cand_i.reshape(b, -1)
-    take = min(k, cand_s.shape[-1])
-    best, pos = jax.lax.top_k(cand_s, take)
-    gslot = jnp.take_along_axis(cand_i, pos, axis=-1)
-    if take < k:
-        best = jnp.pad(best, ((0, 0), (0, k - take)), constant_values=cosine.NEG_INF)
-        gslot = jnp.pad(gslot, ((0, 0), (0, k - take)))
+    # top-k over the union of probed buckets (same merge as _ivf_scan)
+    scores = scores.reshape(b, nprobe * cap)
+    k_eff = min(k, nprobe * cap)
+    best, pos = jax.lax.top_k(scores, k_eff)
+    cluster = jnp.take_along_axis(probed, pos // cap, axis=-1)
+    slot = pos % cap
+    gslot = cluster * cap + slot
+    if k_eff < k:
+        best = jnp.pad(
+            best, ((0, 0), (0, k - k_eff)), constant_values=cosine.NEG_INF
+        )
+        gslot = jnp.pad(gslot, ((0, 0), (0, k - k_eff)))
     return best, gslot
