@@ -1,0 +1,143 @@
+"""Race-safety tests (SURVEY.md §5 notes the reference never wires -race):
+concurrent uploads/searches/deletes against one engine, cross-process-style
+build-lock contention, and singleflight under parallel misses."""
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from vectorsearch_tpu import constants
+from vectorsearch_tpu.engine import Engine, EngineCache
+from vectorsearch_tpu.engine.cache import TTLCache
+from vectorsearch_tpu.store import Store
+
+from test_engine import WordHashAI
+
+
+@pytest.fixture(autouse=True)
+def small_buckets(monkeypatch):
+    monkeypatch.setattr(constants, "BUCKET_ROUND", 64)
+
+
+def test_concurrent_upload_and_search():
+    store = Store(":memory:")
+    eng = Engine(store, WordHashAI(), cache=EngineCache(ttl=0.0))
+    errors = []
+
+    def uploader(tag):
+        try:
+            for i in range(5):
+                eng.upload(
+                    "alice",
+                    "docs",
+                    [
+                        {
+                            "name": f"{tag}-{i}",
+                            "document": {"text": f"topic{tag} item {i}"},
+                        }
+                    ],
+                )
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    def searcher():
+        try:
+            for _ in range(10):
+                eng.search("alice", "docs", "topic1 item", count=3)
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=uploader, args=(t,)) for t in range(3)]
+    threads += [threading.Thread(target=searcher) for _ in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    hits = eng.search("alice", "docs", "topic2 item", count=5)
+    assert hits
+    # every uploaded doc is present exactly once in the DB
+    owner = store.get_owner("alice")
+    cat = store.get_category(owner.id, "docs")
+    assert len(store.document_ids_for_category(cat.id)) == 15
+    assert store.count_embeddings(cat.id) == 15
+    eng.close()
+    store.close()
+
+
+def test_build_lock_contention(tmp_path):
+    db = str(tmp_path / "db.sqlite")
+    store = Store(db)
+    eng = Engine(store, WordHashAI())
+    eng.upload(
+        "alice",
+        "docs",
+        [{"name": f"d{i}", "document": {"text": f"w{i % 3} x {i}"}} for i in range(30)],
+    )
+    owner = store.get_owner("alice")
+    cat = store.get_category(owner.id, "docs")
+    # another instance holds the DB lock -> refresh skips (not retried)
+    assert store.try_acquire_build_lock(cat.id, "other-instance")
+    assert eng.refresh_category(cat.id, target_cluster_size=10, chunk=64) is False
+    store.release_build_lock(cat.id, "other-instance")
+    assert eng.refresh_category(cat.id, target_cluster_size=10, chunk=64) is True
+    eng.close()
+    store.close()
+
+
+def test_build_lock_stale_expiry(tmp_path):
+    from vectorsearch_tpu.store import db as dbmod
+
+    store = Store(str(tmp_path / "db.sqlite"))
+    assert store.try_acquire_build_lock(1, "a")
+    assert not store.try_acquire_build_lock(1, "b")
+    # simulate a crashed holder by aging the lock past the stale window
+    with store._lock, store._conn:
+        store._conn.execute(
+            "UPDATE build_locks SET acquired_at=?",
+            (time.time() - dbmod.BUILD_LOCK_STALE_S - 1,),
+        )
+    assert store.try_acquire_build_lock(1, "b")
+    store.close()
+
+
+def test_singleflight_one_loader_call():
+    cache = TTLCache(ttl=60)
+    calls = []
+    gate = threading.Event()
+
+    def loader():
+        calls.append(1)
+        gate.wait(1)
+        return "value"
+
+    results = []
+
+    def worker():
+        results.append(cache.get_or_load("k", loader))
+
+    threads = [threading.Thread(target=worker) for _ in range(8)]
+    for t in threads:
+        t.start()
+    time.sleep(0.2)
+    gate.set()
+    for t in threads:
+        t.join()
+    assert len(calls) == 1
+    assert results == ["value"] * 8
+
+
+def test_singleflight_error_propagates_then_recovers():
+    cache = TTLCache(ttl=60)
+    state = {"fail": True}
+
+    def loader():
+        if state["fail"]:
+            raise RuntimeError("boom")
+        return 42
+
+    with pytest.raises(RuntimeError):
+        cache.get_or_load("k", loader)
+    state["fail"] = False
+    assert cache.get_or_load("k", loader) == 42

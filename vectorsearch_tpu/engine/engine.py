@@ -67,11 +67,14 @@ class Engine:
         snapshot_dir: str | None = None,
         cache: EngineCache | None = None,
     ):
+        import uuid
+
         self.store = store
         self.ai = ai
         self.snapshot_dir = snapshot_dir
         self.cache = cache or EngineCache()
         self.cache.start()
+        self._holder = uuid.uuid4().hex  # build-lock identity
         self._states: dict[int, CategoryState] = {}
         self._states_lock = threading.Lock()
         self._boot()
@@ -275,6 +278,18 @@ class Engine:
                 packed, np.asarray(emb_ids, np.int64), cids=cids
             )
             state.doc_map.update(zip(emb_ids, per_emb_doc))
+
+            # 8. overflow pressure: if the spill tail outgrows 10% of the
+            #    corpus, re-pack buckets against the current centroids (the
+            #    reference's global repair is the next RefreshCentroids;
+            #    this bounds scan cost in between)
+            spill = state.ivf.spill.live
+            if spill > 1024 and spill > state.ivf.n_live // 10:
+                sugar().info(
+                    "category %d spill %d rows: compacting buckets",
+                    category.id, spill,
+                )
+                state.ivf = state.ivf.compact()
 
         sugar().info("%d upload: %d documents, %d embeddings", txid, len(doc_ids), len(emb_ids))
         return doc_ids
@@ -502,6 +517,13 @@ class Engine:
         if not state.build_lock.acquire(blocking=False):
             sugar().info("category %d build already in progress, skipping", category_id)
             return False
+        # cross-process coordination: DB lock table (the reference's
+        # Postgres SHARE NOWAIT pattern, server/centroids.go:33-52) —
+        # contended categories are skipped, not retried
+        if not self.store.try_acquire_build_lock(category_id, self._holder):
+            state.build_lock.release()
+            sugar().info("category %d locked by another instance, skipping", category_id)
+            return False
         try:
             ivf = state.ivf
             packed, ids = ivf.export_live()
@@ -535,4 +557,5 @@ class Engine:
             )
             return True
         finally:
+            self.store.release_build_lock(category_id, self._holder)
             state.build_lock.release()

@@ -93,7 +93,15 @@ CREATE TABLE IF NOT EXISTS embeddings (
 );
 CREATE INDEX IF NOT EXISTS idx_embedding_document ON embeddings(document_id);
 CREATE INDEX IF NOT EXISTS idx_embedding_centroid ON embeddings(centroid_id);
+CREATE TABLE IF NOT EXISTS build_locks (
+    category_id INTEGER PRIMARY KEY,
+    holder TEXT NOT NULL,
+    acquired_at REAL NOT NULL
+);
 """
+
+# A build lock is considered abandoned (crashed holder) after this long.
+BUILD_LOCK_STALE_S = 3600.0
 
 
 @dataclass(frozen=True)
@@ -363,6 +371,35 @@ class Store:
                 "SELECT id FROM documents WHERE category_id=?", (category_id,)
             ).fetchall()
         return [r[0] for r in rows]
+
+    # ---- build coordination ----
+
+    def try_acquire_build_lock(self, category_id: int, holder: str) -> bool:
+        """Non-blocking per-category build lock shared by every process on
+        this store — the reference coordinates multi-instance centroid
+        rebuilds with a Postgres SHARE NOWAIT row lock and skips contended
+        categories (server/centroids.go:33-52); this is the same contract
+        on a lock table. Stale locks (crashed holders) expire after
+        BUILD_LOCK_STALE_S."""
+        now = time.time()
+        with self._lock, self._conn:
+            self._conn.execute(
+                "DELETE FROM build_locks WHERE category_id=? AND acquired_at<?",
+                (category_id, now - BUILD_LOCK_STALE_S),
+            )
+            cur = self._conn.execute(
+                "INSERT OR IGNORE INTO build_locks(category_id, holder, acquired_at) "
+                "VALUES (?,?,?)",
+                (category_id, holder, now),
+            )
+            return cur.rowcount == 1
+
+    def release_build_lock(self, category_id: int, holder: str) -> None:
+        with self._lock, self._conn:
+            self._conn.execute(
+                "DELETE FROM build_locks WHERE category_id=? AND holder=?",
+                (category_id, holder),
+            )
 
     def embedding_doc_map(self, category_id: int) -> dict[int, int]:
         """embedding id -> document id for a whole category (boot path)."""
