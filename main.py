@@ -125,6 +125,14 @@ def main(argv: list[str]) -> int:
     ai = AI.from_config(cfg, use_noop=os.environ.get("VSTPU_NOOP_AI") == "1")
     preftest()
 
+    if cfg.database.postgres:
+        # The reference's Postgres + read-replica path (database.go:86-103);
+        # this build has no Postgres driver baked in — scale-out reads are
+        # sharded device replicas (parallel/sharded.py) instead.
+        sugar().warning(
+            "postgres DSNs configured but no driver in this build; using sqlite %s",
+            cfg.database.sqlite,
+        )
     store = Store(cfg.database.sqlite)
     engine = Engine(store, ai, snapshot_dir=cfg.database.snapshots)
 
