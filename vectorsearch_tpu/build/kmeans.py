@@ -167,6 +167,19 @@ def _device_put_tiles(tiles, valid, prev, mesh: Mesh | None, axis: str = "data")
     )
 
 
+def prepare_tiles(
+    packed: PackedVectors, chunk: int, mesh: Mesh | None = None
+):
+    """Stage the corpus on device once (tiles + validity + n). Passing the
+    result to several lloyd() calls avoids re-uploading the corpus per
+    phase — at 1M x 768 that is ~770 MB of host->device traffic per call."""
+    n_dev = mesh.devices.size if mesh is not None else 1
+    tiles, valid, n = _tile_data(packed, chunk, pad_multiple=n_dev)
+    prev = np.full(valid.shape, -1, np.int32)
+    d_tiles, d_valid, d_prev = _device_put_tiles(tiles, valid, prev, mesh)
+    return d_tiles, d_valid, d_prev, n
+
+
 def lloyd(
     packed: PackedVectors,
     init_centroids: np.ndarray,
@@ -174,14 +187,14 @@ def lloyd(
     chunk: int = 16_384,
     mesh: Mesh | None = None,
     tol_changes: int = 0,
+    prepared=None,
 ) -> KMeansResult:
     """Run Lloyd's iterations from the given centroids until the number of
     assignment changes is <= tol_changes (reference converges on unchanged
     quantized bytes — dnc/k_means.go:67-117 — we converge on assignments)."""
-    n_dev = mesh.devices.size if mesh is not None else 1
-    tiles, valid, n = _tile_data(packed, chunk, pad_multiple=n_dev)
-    prev = np.full(valid.shape, -1, np.int32)
-    d_tiles, d_valid, d_prev = _device_put_tiles(tiles, valid, prev, mesh)
+    if prepared is None:
+        prepared = prepare_tiles(packed, chunk, mesh)
+    d_tiles, d_valid, d_prev, n = prepared
     centroids = jnp.asarray(init_centroids, jnp.float32)
     iteration = _make_iteration(mesh)
 
@@ -224,6 +237,7 @@ def kmeans(
     chunk: int = 16_384,
     mesh: Mesh | None = None,
     seed: int = 0,
+    prepared=None,
 ) -> KMeansResult:
     """Superset-initialized k-means (reference: dnc/k_means.go:19-207).
 
@@ -237,16 +251,21 @@ def kmeans(
         raise ValueError("kmeans on empty dataset")
     k = max(1, min(k, n))
 
+    if prepared is None:
+        prepared = prepare_tiles(packed, chunk, mesh)
     k_super = min(k * max(1, superset_mul), n)
     init = sample_init(packed, k_super, seed=seed)
     if k_super > k:
         phase1 = lloyd(
-            packed, init, max_iters=superset_iters, chunk=chunk, mesh=mesh
+            packed, init, max_iters=superset_iters, chunk=chunk, mesh=mesh,
+            prepared=prepared,
         )
         top = np.argsort(-phase1.counts, kind="stable")[:k]
         init = phase1.centroids[top]
-    result = lloyd(packed, init, max_iters=max_iters, chunk=chunk, mesh=mesh)
-    return result
+    return lloyd(
+        packed, init, max_iters=max_iters, chunk=chunk, mesh=mesh,
+        prepared=prepared,
+    )
 
 
 def build_centroids(
@@ -269,9 +288,10 @@ def build_centroids(
     if min_cluster_size is None:
         min_cluster_size = max(1, target_cluster_size // 10)
 
+    prepared = prepare_tiles(packed, chunk, mesh)
     result = kmeans(
         packed, k, max_iters=max_iters, chunk=chunk, mesh=mesh, seed=seed,
-        superset_iters=superset_iters,
+        superset_iters=superset_iters, prepared=prepared,
     )
     if result.centroids.shape[0] <= 1:
         return result
@@ -282,11 +302,11 @@ def build_centroids(
         # one Lloyd's iteration against survivors = reassign + recenter
         result = lloyd(
             packed, survivors, max_iters=1, chunk=chunk, mesh=mesh,
-            tol_changes=-1,
+            tol_changes=-1, prepared=prepared,
         )
         # recenter once more so centroids reflect the new assignment
         result = lloyd(
             packed, result.centroids, max_iters=1, chunk=chunk, mesh=mesh,
-            tol_changes=-1,
+            tol_changes=-1, prepared=prepared,
         )
     return result
