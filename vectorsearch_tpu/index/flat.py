@@ -203,9 +203,11 @@ class FlatIndex:
 
     # ---- queries ----
 
-    def search(self, queries, k: int, chunk: int = 65_536):
+    def search(self, queries, k: int, chunk: int = 65_536, approx: bool = False):
         """Top-k cosine search. Returns (scores f32[B,k], ids int64[B,k]);
-        empty slots carry score -inf and id -1."""
+        empty slots carry score -inf and id -1. approx=True uses the TPU's
+        native approximate top-k for the per-chunk reduction (serving
+        path; recall parity measured in bench)."""
         queries = jnp.atleast_2d(jnp.asarray(queries, jnp.float32))
         scores, slots = cosine.scan_topk(
             queries,
@@ -214,6 +216,7 @@ class FlatIndex:
             k=k,
             chunk=chunk,
             valid_mask=self.mask,
+            approx=approx,
         )
         scores = np.asarray(scores)
         slots = np.asarray(slots)

@@ -256,15 +256,37 @@ class IVFIndex:
         if nprobe < 0:
             nprobe = self.k_clusters
         nprobe = max(1, min(nprobe, self.k_clusters))
-        scores, gslot = _scan_impl()(
-            queries,
-            self.centroids_n,
-            self.buckets,
-            self.counts_dev,
-            self.bucket_mask,
-            nprobe=nprobe,
-            k=k,
-        )
+        scan = _scan_impl()
+        # The Pallas path's [B, nprobe, cap, 1] score buffer pads its
+        # trailing dim to the 128-lane tile at rest; bound the padded
+        # footprint (~512 MB) by slicing large query batches.
+        bytes_per_q = nprobe * self.cap * 4 * 128
+        b_max = max(1, (512 << 20) // max(1, bytes_per_q))
+        if queries.shape[0] > b_max:
+            parts = [
+                scan(
+                    queries[i : i + b_max],
+                    self.centroids_n,
+                    self.buckets,
+                    self.counts_dev,
+                    self.bucket_mask,
+                    nprobe=nprobe,
+                    k=k,
+                )
+                for i in range(0, queries.shape[0], b_max)
+            ]
+            scores = jnp.concatenate([p[0] for p in parts], axis=0)
+            gslot = jnp.concatenate([p[1] for p in parts], axis=0)
+        else:
+            scores, gslot = scan(
+                queries,
+                self.centroids_n,
+                self.buckets,
+                self.counts_dev,
+                self.bucket_mask,
+                nprobe=nprobe,
+                k=k,
+            )
         scores = np.asarray(scores)
         gslot = np.asarray(gslot)
         flat_ids = self.ids.reshape(-1)
