@@ -203,21 +203,34 @@ class FlatIndex:
 
     # ---- queries ----
 
-    def search(self, queries, k: int, chunk: int = 65_536, approx: bool = False):
+    def search(
+        self,
+        queries,
+        k: int,
+        chunk: int = 65_536,
+        approx: bool = False,
+        refine: int = 0,
+    ):
         """Top-k cosine search. Returns (scores f32[B,k], ids int64[B,k]);
         empty slots carry score -inf and id -1. approx=True uses the TPU's
-        native approximate top-k for the per-chunk reduction (serving
-        path; recall parity measured in bench)."""
+        native approximate top-k for the per-chunk reduction; refine=m>0
+        re-ranks the coarse top-m with the exact f32 query (serving path;
+        recall parity measured in bench)."""
         queries = jnp.atleast_2d(jnp.asarray(queries, jnp.float32))
+        coarse_k = max(k, refine) if refine else k
         scores, slots = cosine.scan_topk(
             queries,
             self.packed,
             jnp.int32(self.n),
-            k=k,
+            k=coarse_k,
             chunk=chunk,
             valid_mask=self.mask,
             approx=approx,
         )
+        if refine:
+            scores, slots = cosine.rescore_topk(
+                queries, self.packed, scores, slots, k
+            )
         scores = np.asarray(scores)
         slots = np.asarray(slots)
         # slots of -inf entries may point into scan padding; clip before the

@@ -219,6 +219,42 @@ def scan_topk(
     return best_s, best_i
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def rescore_topk(
+    queries: jax.Array,
+    corpus: PackedVectors,
+    cand_scores: jax.Array,
+    cand_idx: jax.Array,
+    k: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Exact re-rank of candidate rows: gather the m candidates per query,
+    score them against the UNQUANTIZED f32 query, and take top-k.
+
+    The coarse scan quantizes the query to int8 for the MXU; its only
+    recall loss vs the stored corpus is that query rounding. Re-scoring
+    the top-m with the f32 query removes it: m x D gathers per query are
+    tiny next to the corpus scan (the retrieval analogue of a reranker).
+    -inf candidates stay -inf (their gathered row is scored but masked).
+    """
+    qn = l2_normalize(queries.astype(jnp.float32))  # [B, D]
+    safe = jnp.clip(cand_idx, 0, corpus.codes.shape[0] - 1)
+    codes_g = jnp.take(corpus.codes, safe, axis=0)  # [B, m, D]
+    scale_g = jnp.take(corpus.scale, safe)  # [B, m]
+    offset_g = jnp.take(corpus.offset, safe)
+    inv_g = jnp.take(corpus.inv_norm, safe)
+    dots = jnp.einsum(
+        "bmd,bd->bm",
+        codes_g.astype(jnp.float32),
+        qn,
+        preferred_element_type=jnp.float32,
+    )
+    qsum = jnp.sum(qn, axis=-1, keepdims=True)
+    exact = (offset_g * qsum + scale_g * dots) * inv_g
+    exact = jnp.where(jnp.isneginf(cand_scores), NEG_INF, exact)
+    best, pos = jax.lax.top_k(exact, min(k, exact.shape[-1]))
+    return best, jnp.take_along_axis(cand_idx, pos, axis=-1)
+
+
 def nearest_centroid(
     vectors: PackedVectors, centroids_f32: jax.Array
 ) -> tuple[jax.Array, jax.Array]:
