@@ -191,6 +191,19 @@ def main():
         except Exception as e:
             log("bench: flat B=%d failed: %s", fb, e)
 
+    # Flat + exact-f32 refine of the coarse top-32 (removes query-rounding
+    # recall loss; see kernels/cosine.py rescore_topk)
+    def flat_refined(q):
+        cs, ci = cosine.scan_topk(
+            q, packed_dev, jnp.int32(N), k=32, chunk=131_072, approx=True
+        )
+        return cosine.rescore_topk(q, packed_dev, cs, ci, k=TOPK)
+
+    try:
+        measure(f"flat+refine B={flat_batch}", flat_refined, flat_batch, flat_ids_map)
+    except Exception as e:
+        log("bench: flat+refine failed: %s", e)
+
     eligible = [r for r in results if r[2] >= 0.90] or results
     label, qps, recall = max(eligible, key=lambda r: r[1])
     log(
