@@ -36,10 +36,14 @@ def log(msg, *args):
 def make_corpus(n, dim, k, seed=0):
     """Clustered synthetic corpus (vectorpedia-style locality)."""
     rng = np.random.default_rng(seed)
-    centers = rng.normal(size=(k, dim)).astype(np.float32)
+    centers = rng.standard_normal((k, dim), dtype=np.float32)
     assign = rng.integers(0, k, size=n)
-    noise = rng.normal(size=(n, dim)).astype(np.float32)
-    return centers[assign] * 2.0 + noise
+    out = centers[assign] * np.float32(2.0)
+    # chunked f32 noise: ~4x faster than normal() (no f64 intermediate)
+    for start in range(0, n, 100_000):
+        end = min(start + 100_000, n)
+        out[start:end] += rng.standard_normal((end - start, dim), dtype=np.float32)
+    return out
 
 
 def main():
