@@ -80,6 +80,18 @@ class Engine:
         self._boot()
 
     def close(self):
+        """Graceful shutdown: snapshot every category for fast next boot
+        (the DB already holds the durable truth; reference: main.go:201-224
+        just closes — snapshots are the TPU-native fast-boot addition)."""
+        if self.snapshot_dir is not None:
+            with self._states_lock:
+                states = dict(self._states)
+            for cid, st in states.items():
+                if st.ivf is not None and st.ivf.n_live > 0:
+                    try:
+                        self._save_snapshot(cid, st.ivf)
+                    except Exception as e:
+                        sugar().warning("snapshot of category %d failed: %s", cid, e)
         self.cache.close()
 
     # ------------------------------------------------------------------ boot

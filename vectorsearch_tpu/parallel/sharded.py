@@ -54,10 +54,12 @@ def _merge_gathered(s, gi, k, b):
 
 
 @functools.lru_cache(maxsize=64)
-def _flat_scan_factory(mesh: Mesh, k: int, chunk: int, rows: int):
+def _flat_scan_factory(mesh: Mesh, k: int, chunk: int, rows: int, approx: bool = False):
     def local(queries, packed_local, n_local):
         my = jax.lax.axis_index(DATA_AXIS)
-        s, i = cosine.scan_topk(queries, packed_local, n_local[0], k=k, chunk=chunk)
+        s, i = cosine.scan_topk(
+            queries, packed_local, n_local[0], k=k, chunk=chunk, approx=approx
+        )
         gi = jnp.where(jnp.isneginf(s), -1, i + my * rows)
         return _merge_gathered(s, gi, k, queries.shape[0])
 
@@ -123,9 +125,9 @@ class ShardedFlat:
             n=n,
         )
 
-    def search(self, queries, k: int, chunk: int = 65_536):
+    def search(self, queries, k: int, chunk: int = 65_536, approx: bool = False):
         queries = jnp.atleast_2d(jnp.asarray(queries, jnp.float32))
-        fn = _flat_scan_factory(self.mesh, k, chunk, self.rows_per_shard)
+        fn = _flat_scan_factory(self.mesh, k, chunk, self.rows_per_shard, approx)
         s, gi = fn(queries, self.packed, self.n_local)
         s = np.asarray(s)
         gi = np.asarray(gi)
