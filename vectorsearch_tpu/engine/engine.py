@@ -354,7 +354,9 @@ class Engine:
         while k < want * 4:
             k *= 2
         k = min(k, 1024)
-        scores, emb_ids = ivf.search(query, k=k, nprobe=nprobe)
+        # refine=k: exact f32 re-rank of the whole over-fetched candidate
+        # set (removes query-quantization ordering noise at ~zero cost)
+        scores, emb_ids = ivf.search(query, k=k, nprobe=nprobe, refine=k)
 
         hits: list[tuple[int, float]] = []
         seen: set[int] = set()

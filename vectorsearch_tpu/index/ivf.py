@@ -248,14 +248,16 @@ class IVFIndex:
 
     # ---- queries ----
 
-    def search(self, queries, k: int, nprobe: int = 1):
+    def search(self, queries, k: int, nprobe: int = 1, refine: int = 0):
         """Top-k over probed clusters + spill. Returns (scores, ids) like
         FlatIndex.search. nprobe<0 means probe everything
-        (reference: server/search.go:118-122)."""
+        (reference: server/search.go:118-122). refine=m>0 re-ranks the
+        coarse top-m candidates with the exact f32 query (recall lift)."""
         queries = jnp.atleast_2d(jnp.asarray(queries, jnp.float32))
         if nprobe < 0:
             nprobe = self.k_clusters
         nprobe = max(1, min(nprobe, self.k_clusters))
+        k_coarse = max(k, refine) if refine else k
         scan = _scan_impl()
         # The Pallas path's [B, nprobe, cap, 1] score buffer pads its
         # trailing dim to the 128-lane tile at rest; bound the padded
@@ -271,7 +273,7 @@ class IVFIndex:
                     self.counts_dev,
                     self.bucket_mask,
                     nprobe=nprobe,
-                    k=k,
+                    k=k_coarse,
                 )
                 for i in range(0, queries.shape[0], b_max)
             ]
@@ -285,7 +287,18 @@ class IVFIndex:
                 self.counts_dev,
                 self.bucket_mask,
                 nprobe=nprobe,
-                k=k,
+                k=k_coarse,
+            )
+        if refine:
+            # exact f32 re-rank against the bucket store viewed flat
+            flat_view = PackedVectors(
+                codes=self.buckets.codes.reshape(-1, self.dim),
+                scale=self.buckets.scale.reshape(-1),
+                offset=self.buckets.offset.reshape(-1),
+                inv_norm=self.buckets.inv_norm.reshape(-1),
+            )
+            scores, gslot = cosine.rescore_topk(
+                queries, flat_view, scores, gslot, k
             )
         scores = np.asarray(scores)
         gslot = np.asarray(gslot)
