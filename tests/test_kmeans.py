@@ -88,3 +88,20 @@ def test_build_on_mesh_runs():
     )
     assert res.counts.sum() == len(v)
     assert res.centroids.shape[0] >= 1
+
+
+def test_balance_splits_oversized():
+    rng = np.random.default_rng(11)
+    # heavily skewed: one giant blob + two small
+    big = rng.normal(size=(600, 32)).astype(np.float32) + 8
+    s1 = rng.normal(size=(60, 32)).astype(np.float32) - 8
+    s2 = rng.normal(size=(60, 32)).astype(np.float32) * 0.5
+    v = np.concatenate([big, s1, s2])
+    packed = layout.pack_float(v)
+    res = build_centroids(
+        packed, target_cluster_size=120, min_cluster_size=10, chunk=256,
+        seed=0, balance_rounds=2,
+    )
+    mean = res.counts.sum() / max(1, len(res.counts))
+    assert res.counts.max() <= 3 * mean  # giant blob was split
+    assert res.counts.sum() == len(v)

@@ -278,10 +278,12 @@ def build_centroids(
     seed: int = 0,
     k: int | None = None,
     superset_iters: int = 25,
+    balance_rounds: int = 1,
 ) -> KMeansResult:
     """Full index build: k = ceil(n / target), k-means, drop small clusters,
-    reassign and recenter. Replaces dnc.KMeansDivideAndConquer
-    (dnc/dnc.go:35-263 + dropSmallCentroids + recenterDbCentroid)."""
+    reassign and recenter, then split oversized clusters (balance).
+    Replaces dnc.KMeansDivideAndConquer (dnc/dnc.go:35-263 +
+    dropSmallCentroids + recenterDbCentroid + the recursive size bound)."""
     n = np.shape(packed.codes)[0]
     if k is None:
         k = max(1, -(-n // target_cluster_size))
@@ -308,5 +310,43 @@ def build_centroids(
         result = lloyd(
             packed, result.centroids, max_iters=1, chunk=chunk, mesh=mesh,
             tol_changes=-1, prepared=prepared,
+        )
+
+    # Balance pass: split clusters larger than 2x the mean by running a
+    # local k-means on their members — one level of the reference's
+    # divide step (dnc/dnc.go:320-335 splits any node above CENTROID_SIZE).
+    # Skew directly sets the uniform bucket capacity (index/ivf.py), so a
+    # tighter max cluster means less HBM padding and faster probes.
+    for _ in range(balance_rounds):
+        mean_count = max(1, int(result.counts.sum() // max(1, len(result.counts))))
+        limit = 2 * mean_count
+        oversized = np.nonzero(result.counts > limit)[0]
+        if oversized.size == 0:
+            break
+        keep = [result.centroids[i] for i in range(len(result.counts))
+                if i not in set(oversized.tolist())]
+        new_centroids = list(keep)
+        host_codes = np.asarray(packed.codes)
+        for ci in oversized:
+            members = np.nonzero(result.assignments == ci)[0]
+            if members.size > constants.SAMPLE_SIZE:
+                members = np.random.default_rng(seed + int(ci)).choice(
+                    members, size=constants.SAMPLE_SIZE, replace=False
+                )
+            sub = PackedVectors(
+                codes=host_codes[members],
+                scale=np.asarray(packed.scale)[members],
+                offset=np.asarray(packed.offset)[members],
+                inv_norm=np.asarray(packed.inv_norm)[members],
+            )
+            k_sub = max(2, -(-int(result.counts[ci]) // mean_count))
+            sub_res = kmeans(
+                sub, k_sub, max_iters=10, superset_iters=4, chunk=chunk,
+                seed=seed + int(ci),
+            )
+            new_centroids.extend(list(sub_res.centroids))
+        result = lloyd(
+            packed, np.stack(new_centroids), max_iters=2, chunk=chunk,
+            mesh=mesh, tol_changes=-1, prepared=prepared,
         )
     return result
