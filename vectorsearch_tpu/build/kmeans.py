@@ -340,8 +340,11 @@ def build_centroids(
                 inv_norm=np.asarray(packed.inv_norm)[members],
             )
             k_sub = max(2, -(-int(result.counts[ci]) // mean_count))
+            # superset_mul=1: skip the oversample phase for sub-splits —
+            # it would add one compiled shape per distinct k_sub*mul
+            # (compiles dominate through the remote-compile tunnel)
             sub_res = kmeans(
-                sub, k_sub, max_iters=10, superset_iters=4, chunk=chunk,
+                sub, k_sub, max_iters=10, superset_mul=1, chunk=chunk,
                 seed=seed + int(ci),
             )
             new_centroids.extend(list(sub_res.centroids))
