@@ -230,3 +230,18 @@ def test_boot_from_sql_without_snapshot(tmp_path):
     assert hits and hits[0].name == "cars"
     eng2.close()
     store.close()
+
+
+def test_search_nprobe_parameter(engine):
+    docs = [
+        {"name": f"d{i}", "document": {"text": f"cluster{i % 4} text {i}"}}
+        for i in range(40)
+    ]
+    engine.upload("alice", "docs", docs)
+    engine.refresh_centroids(target_cluster_size=10, chunk=256)
+    # centroids=0 -> nprobe 1; -1 -> all; both must return results
+    h1 = engine.search("alice", "docs", "cluster2 text", count=5, centroids=0)
+    hall = engine.search("alice", "docs", "cluster2 text", count=5, centroids=-1)
+    assert h1 and hall
+    # full probe can only find an equal-or-better top hit
+    assert hall[0].similarity >= h1[0].similarity - 1e-5
