@@ -133,8 +133,15 @@ def main(argv: list[str]) -> int:
             "postgres DSNs configured but no driver in this build; using sqlite %s",
             cfg.database.sqlite,
         )
+    mesh = None
+    if cfg.mesh.shard_serving:
+        from vectorsearch_tpu.parallel import default_mesh
+
+        mesh = default_mesh(cfg.mesh.devices or None)
+        sugar().info("sharded serving over %d devices", mesh.devices.size)
+
     store = Store(cfg.database.sqlite)
-    engine = Engine(store, ai, snapshot_dir=cfg.database.snapshots)
+    engine = Engine(store, ai, snapshot_dir=cfg.database.snapshots, mesh=mesh)
 
     # one-shot background index refresh at startup (reference: main.go:92)
     threading.Thread(target=engine.refresh_centroids, daemon=True).start()

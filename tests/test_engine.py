@@ -245,3 +245,35 @@ def test_search_nprobe_parameter(engine):
     assert h1 and hall
     # full probe can only find an equal-or-better top hit
     assert hall[0].similarity >= h1[0].similarity - 1e-5
+
+
+def test_sharded_serving_lifecycle(tmp_path):
+    """mesh set: rebuild creates a sharded read replica; mutations
+    invalidate it; searches stay correct throughout."""
+    from vectorsearch_tpu.parallel import default_mesh
+
+    store = Store(":memory:")
+    eng = Engine(
+        store, WordHashAI(), cache=EngineCache(ttl=0.0), mesh=default_mesh(8)
+    )
+    docs = [
+        {"name": f"d{i}", "document": {"text": f"topic{i % 4} words {i}"}}
+        for i in range(40)
+    ]
+    eng.upload("alice", "docs", docs)
+    cat = store.get_category(store.get_owner("alice").id, "docs")
+    state = eng._state_for(cat.id, create=False)
+    assert state.sharded is None  # no rebuild yet
+
+    eng.refresh_centroids(target_cluster_size=10, chunk=64)
+    assert state.sharded is not None
+    hits = eng.search("alice", "docs", "topic2 words", count=3, centroids=-1)
+    assert hits and "topic2" in hits[0].document["text"]
+
+    # a mutation invalidates the replica; search falls back and still works
+    eng.upload("alice", "docs", [{"name": "new", "document": {"text": "fresh topic9"}}])
+    assert state.sharded is None
+    hits = eng.search("alice", "docs", "fresh topic9", count=1, centroids=-1)
+    assert hits and hits[0].name == "new"
+    eng.close()
+    store.close()

@@ -48,6 +48,10 @@ class CategoryState:
     doc_map: dict[int, int] = field(default_factory=dict)  # emb id -> doc id
     lock: threading.RLock = field(default_factory=threading.RLock)
     build_lock: threading.Lock = field(default_factory=threading.Lock)
+    # read replica sharded over the mesh; rebuilt at refresh time and
+    # invalidated by any mutation (single-writer + sharded-reader pattern,
+    # SURVEY.md §2.8 "DB read replicas" row)
+    sharded: object | None = None
 
 
 @dataclass(frozen=True)
@@ -66,12 +70,17 @@ class Engine:
         ai: AIProvider,
         snapshot_dir: str | None = None,
         cache: EngineCache | None = None,
+        mesh=None,
     ):
+        """`mesh`: optional jax.sharding.Mesh — when set, index rebuilds
+        also produce a cluster-sharded read replica (parallel/sharded.py)
+        that searches use until the next mutation."""
         import uuid
 
         self.store = store
         self.ai = ai
         self.snapshot_dir = snapshot_dir
+        self.mesh = mesh
         self.cache = cache or EngineCache()
         self.cache.start()
         self._holder = uuid.uuid4().hex  # build-lock identity
@@ -290,6 +299,7 @@ class Engine:
                 packed, np.asarray(emb_ids, np.int64), cids=cids
             )
             state.doc_map.update(zip(emb_ids, per_emb_doc))
+            state.sharded = None  # read replica is stale until next rebuild
 
             # 8. overflow pressure: if the spill tail outgrows 10% of the
             #    corpus, re-pack buckets against the current centroids (the
@@ -356,7 +366,11 @@ class Engine:
         k = min(k, 1024)
         # refine=k: exact f32 re-rank of the whole over-fetched candidate
         # set (removes query-quantization ordering noise at ~zero cost)
-        scores, emb_ids = ivf.search(query, k=k, nprobe=nprobe, refine=k)
+        sharded = state.sharded
+        if sharded is not None:
+            scores, emb_ids = sharded.search(query, k=k, nprobe=nprobe)
+        else:
+            scores, emb_ids = ivf.search(query, k=k, nprobe=nprobe, refine=k)
 
         hits: list[tuple[int, float]] = []
         seen: set[int] = set()
@@ -481,6 +495,7 @@ class Engine:
         if state is not None and state.ivf is not None and emb_ids:
             with state.lock:
                 state.ivf = state.ivf.remove_ids(np.asarray(emb_ids, np.int64))
+                state.sharded = None
                 for e in emb_ids:
                     state.doc_map.pop(e, None)
 
@@ -558,9 +573,18 @@ class Engine:
             new_db_ids = self.store.replace_centroids(
                 category_id, cent_wires, reassign
             )
+            sharded = None
+            if self.mesh is not None:
+                from ..parallel import ShardedIVF
+
+                sharded = ShardedIVF.build(
+                    self.mesh, packed, ids, result.centroids,
+                    assignments=result.assignments,
+                )
             with state.lock:
                 state.ivf = new_ivf
                 state.centroid_db_ids = list(new_db_ids)
+                state.sharded = sharded
             self.cache.centroids.invalidate(category_id)
             self._save_snapshot(category_id, new_ivf)
             sugar().info(
