@@ -18,7 +18,6 @@ they run in the default thread executor.
 from __future__ import annotations
 
 import asyncio
-import dataclasses
 import json
 import os
 

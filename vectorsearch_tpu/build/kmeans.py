@@ -25,7 +25,6 @@ survivors, which are then recentered.
 """
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
 
 import jax

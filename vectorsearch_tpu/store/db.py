@@ -31,8 +31,6 @@ import time
 from dataclasses import dataclass
 from typing import Any, Iterator
 
-import numpy as np
-
 try:
     import zstandard as _zstd
 
