@@ -223,9 +223,10 @@ def scan_topk(
 def rescore_topk(
     queries: jax.Array,
     corpus: PackedVectors,
-    cand_scores: jax.Array,
+    cand_scores: jax.Array | None,
     cand_idx: jax.Array,
     k: int,
+    valid: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Exact re-rank of candidate rows: gather the m candidates per query,
     score them against the UNQUANTIZED f32 query, and take top-k.
@@ -250,7 +251,10 @@ def rescore_topk(
     )
     qsum = jnp.sum(qn, axis=-1, keepdims=True)
     exact = (offset_g * qsum + scale_g * dots) * inv_g
-    exact = jnp.where(jnp.isneginf(cand_scores), NEG_INF, exact)
+    if cand_scores is not None:
+        exact = jnp.where(jnp.isneginf(cand_scores), NEG_INF, exact)
+    if valid is not None:
+        exact = jnp.where(jnp.take(valid, safe), exact, NEG_INF)
     best, pos = jax.lax.top_k(exact, min(k, exact.shape[-1]))
     return best, jnp.take_along_axis(cand_idx, pos, axis=-1)
 
