@@ -1,0 +1,83 @@
+"""Secondary benchmark: BASELINE config 4 — 10M x 768 -> 4096 centroids.
+
+Measures the index-build path at the reference's headline build scale on
+one chip (the builder itself shards over a mesh when given one;
+multi-chip hardware is not available in this environment). Not run by the
+driver (bench.py is the headline); invoke manually:
+
+    python bench_build.py            # full 10M
+    VSTPU_BUILD_N=2000000 python bench_build.py
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+N = int(os.environ.get("VSTPU_BUILD_N", 10_000_000))
+DIM = int(os.environ.get("VSTPU_BUILD_DIM", 768))
+K = int(os.environ.get("VSTPU_BUILD_K", 4096))
+
+
+def log(msg, *args):
+    print(msg % args if args else msg, file=sys.stderr, flush=True)
+
+
+def main():
+    from vectorsearch_tpu.build import build_centroids
+    from vectorsearch_tpu.quant import codec, layout
+    from vectorsearch_tpu.quant.layout import PackedVectors
+
+    rng = np.random.default_rng(0)
+    centers = rng.standard_normal((K, DIM), dtype=np.float32)
+
+    t0 = time.perf_counter()
+    chunk_rows = 500_000
+    parts = []
+    for start in range(0, N, chunk_rows):
+        m = min(chunk_rows, N - start)
+        block = centers[rng.integers(0, K, size=m)] * np.float32(2.0)
+        block += rng.standard_normal((m, DIM), dtype=np.float32)
+        parts.append(layout.pack_float(block))
+    packed = PackedVectors(
+        codes=np.concatenate([p.codes for p in parts]),
+        scale=np.concatenate([p.scale for p in parts]),
+        offset=np.concatenate([p.offset for p in parts]),
+        inv_norm=np.concatenate([p.inv_norm for p in parts]),
+    )
+    del parts
+    log("build-bench: generated+packed %dx%d in %.1fs", N, DIM, time.perf_counter() - t0)
+
+    t0 = time.perf_counter()
+    result = build_centroids(
+        packed,
+        k=K,
+        min_cluster_size=max(1, (N // K) // 10),
+        max_iters=int(os.environ.get("VSTPU_BUILD_ITERS", 8)),
+        superset_iters=3,
+        chunk=65_536,
+        balance_rounds=1,
+    )
+    build_s = time.perf_counter() - t0
+    log(
+        "build-bench: %d centroids over %d vectors in %.1fs; "
+        "max/mean cluster %d/%d",
+        result.centroids.shape[0], N, build_s,
+        int(result.counts.max()), int(result.counts.mean()),
+    )
+    print(
+        json.dumps(
+            {
+                "metric": f"k-means build {N}x{DIM} -> {result.centroids.shape[0]} centroids",
+                "value": round(build_s, 1),
+                "unit": "s",
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

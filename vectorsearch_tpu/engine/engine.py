@@ -269,6 +269,12 @@ class Engine:
                 state.centroid_db_ids = [cent_id]
                 self.cache.centroids.invalidate(category.id)
 
+            if packed.dim != state.ivf.dim:
+                raise ValueError(
+                    f"embedding dimension changed: index is {state.ivf.dim}, "
+                    f"provider returned {packed.dim} — rebuild the category"
+                )
+
             # 5. assign to nearest centroid (device)
             cids = state.ivf.assign(packed)
 
