@@ -89,13 +89,19 @@ def _assign_and_accumulate(tiles, valid, centroids, axis: str | None):
         sims = inner * tile.inv_norm[:, None]
         cid = jnp.argmax(sims, axis=-1).astype(jnp.int32)
 
-        v = tile.offset[:, None] + tile.scale[:, None] * tile.codes.astype(
-            jnp.float32
-        )
         onehot = (
             cid[:, None] == jax.lax.broadcasted_iota(jnp.int32, (1, kk), 1)
         ) & tile_valid[:, None]
         onehot = onehot.astype(jnp.float32)  # [chunk, K]
+        # Per-cluster sums via one-hot matmul over the dequantized tile.
+        # NOTE: the one-hot lhs makes every product exact (0 or v) at any
+        # matmul precision — a scaled-one-hot bf16 variant that avoids the
+        # f32 dequantization was tried and rejected: the per-row scale in
+        # the lhs makes products round in bf16 and cluster means lose up
+        # to ~0.1 abs under cancellation.
+        v = tile.offset[:, None] + tile.scale[:, None] * tile.codes.astype(
+            jnp.float32
+        )
         sums = sums + jax.lax.dot_general(
             onehot,
             v,
