@@ -143,8 +143,13 @@ def main(argv: list[str]) -> int:
     store = Store(cfg.database.sqlite)
     engine = Engine(store, ai, snapshot_dir=cfg.database.snapshots, mesh=mesh)
 
-    # one-shot background index refresh at startup (reference: main.go:92)
-    threading.Thread(target=engine.refresh_centroids, daemon=True).start()
+    # one-shot background index refresh at startup (reference: main.go:92),
+    # preceded by jit warmup of the serving shapes
+    def _startup():
+        engine.warmup()
+        engine.refresh_centroids()
+
+    threading.Thread(target=_startup, daemon=True).start()
 
     try:
         asyncio.run(serve(cfg, engine))

@@ -277,3 +277,34 @@ def test_sharded_serving_lifecycle(tmp_path):
     assert hits and hits[0].name == "new"
     eng.close()
     store.close()
+
+
+def test_stale_snapshot_rebuilds_from_sql(tmp_path):
+    """A snapshot that no longer matches the DB row count is detected as
+    stale at boot and the index is rebuilt from SQL."""
+    db = str(tmp_path / "db.sqlite")
+    snaps = str(tmp_path / "snaps")
+    store = Store(db)
+    eng = Engine(store, WordHashAI(), snapshot_dir=snaps)
+    eng.upload("alice", "docs", FRUIT_DOCS[:2])
+    eng.close()  # snapshot written with n=2
+
+    # second writer adds a doc WITHOUT snapshotting (simulates crash or
+    # another instance): snapshot is now stale
+    eng_b = Engine(store, WordHashAI(), snapshot_dir=None)
+    eng_b.upload("alice", "docs", FRUIT_DOCS[2:])
+    eng_b.close()
+
+    eng2 = Engine(store, WordHashAI(), snapshot_dir=snaps)
+    hits = eng2.search("alice", "docs", "gearbox road", count=1, centroids=-1)
+    assert hits and hits[0].name == "cars"  # the doc missing from the snapshot
+    eng2.close()
+    store.close()
+
+
+def test_warmup_noop_and_compile(engine):
+    engine.warmup()  # empty: no-op
+    engine.upload("alice", "docs", FRUIT_DOCS)
+    engine.warmup()  # compiles the serving shapes without error
+    hits = engine.search("alice", "docs", "banana tropical", count=1)
+    assert hits

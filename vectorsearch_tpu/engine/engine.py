@@ -511,6 +511,28 @@ class Engine:
         if self.snapshot_dir is not None:
             snapshots.purge(self.snapshot_dir, f"cat-{category_id}")
 
+    # ----------------------------------------------------------------- warmup
+
+    def warmup(self) -> None:
+        """Pre-compile the common search program shapes so the first real
+        request doesn't pay jit latency (the reference pays per-request SQL
+        instead; our cold cost is compilation). Safe no-op on empty state."""
+        with self._states_lock:
+            states = list(self._states.values())
+        for st in states:
+            ivf = st.ivf
+            if ivf is None or ivf.n_live == 0:
+                continue
+            try:
+                dummy = np.zeros((1, ivf.dim), np.float32)
+                dummy[0, 0] = 1.0
+                ivf.search(dummy, k=16, nprobe=1, refine=16)
+                sugar().info(
+                    "warmed category %d (dim %d)", st.category_id, ivf.dim
+                )
+            except Exception as e:
+                sugar().warning("warmup failed for %d: %s", st.category_id, e)
+
     # ------------------------------------------------------------------ stats
 
     def stats(self) -> dict:
