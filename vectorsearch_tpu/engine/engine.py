@@ -621,6 +621,14 @@ class Engine:
                 result.centroids.shape[0],
                 len(ids),
             )
+            # pre-compile the new index shapes so the first request after a
+            # rebuild doesn't absorb jit latency
+            try:
+                dummy = np.zeros((1, new_ivf.dim), np.float32)
+                dummy[0, 0] = 1.0
+                (state.sharded or new_ivf).search(dummy, k=16, nprobe=1)
+            except Exception:
+                pass
             return True
         finally:
             self.store.release_build_lock(category_id, self._holder)
