@@ -218,7 +218,7 @@ def main():
         json.dumps(
             {
                 "metric": (
-                    f"QPS/chip at recall@10>=0.9, 1Mx768 int8 corpus "
+                    f"QPS/chip at recall@10>=0.9, {N}x{DIM} int8 corpus "
                     f"({label}, recall={recall:.4f}, kmeans build={build_s:.0f}s)"
                 ),
                 "value": round(qps, 1),
