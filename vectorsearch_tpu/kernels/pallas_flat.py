@@ -24,12 +24,16 @@ Affine identity, Mosaic-safe formulation (see CLAUDE.md gotchas):
     qsum (x) bv = rank-1 MXU matmul [B,1] @ [1,TILE] (no lane broadcast!)
     bias  = 0 live / -inf dead  [1, TILE]
 
-Measured (v5e, 1Mx768, B=512): 27.8 ms -> 18.4k QPS at recall@10 0.998.
-The XLA scan_topk(approx=True) path does the same batch in 8.2 ms (62.5k
-QPS at 0.978; +refine 0.9996) — XLA's matmul+approx_max_k pipeline beats
-this bf16 kernel, so the XLA path remains the serving default and this
-kernel is the recall-maximal alternative. Round-2 leads: s8 MXU dots
-in-kernel, manual double-buffered DMA, multi-tile accumulation.
+Measured (v5e, 1Mx768, B=512): 27.8 ms -> 18.4k QPS at recall@10 0.997.
+Breakdown: bands kernel 10.6 ms (s8 and bf16 variants within 7%; query
+tiling at TILE_Q=128 cut per-step cost 4x without moving the total), band
+epilogue ~17 ms (the [tiles, B, 128] moveaxis + approx_max_k over 125k
+bands + gather-rescore). The XLA scan_topk(approx=True) path does the
+same batch in 8.2 ms (62-75k QPS at 0.978; +refine 0.9996), so the XLA
+path remains the serving default and this kernel is the recall-maximal
+alternative. Round-2 leads: hierarchical band reduction (tile-level max
+pass to shrink the epilogue), transposed-band output to skip the
+moveaxis, and profiling why the s8 dot runs ~3x off roofline.
 """
 from __future__ import annotations
 
@@ -44,6 +48,7 @@ from . import cosine
 
 TILE_N = 1024  # corpus rows per grid step; bands = 128, band size = 8
 BAND_LANES = 128
+TILE_Q = 128  # queries per grid step (bounds VMEM so DMA double-buffers)
 
 
 def _flat_kernel(
@@ -77,8 +82,47 @@ def _flat_kernel(
     out_ref[0] = jnp.max(regs, axis=1)  # elementwise max of lane registers
 
 
+def _flat_kernel_s8(
+    qc_ref,  # i8  [B, D]      symmetric int8 query codes
+    qmeta_ref,  # f32 [B, 2]   col0 = per-query scale, col1 = qsum
+    codes_ref,  # i8  [1, TILE, D]
+    a_ref,  # f32 [1, 1, TILE]
+    bv_ref,  # f32 [1, 1, TILE]
+    bias_ref,  # f32 [1, 1, TILE]
+    out_ref,  # f32 [1, B, 128]
+    *,
+    tile: int,
+):
+    """Native s8 x s8 MXU variant: no VMEM int8->bf16 relayout of the code
+    tile. Per-query scale is applied via a rank-1 MXU outer product
+    (sq (x) a) — elementwise with dots — because lane-broadcasting a [B,1]
+    column is not available (see CLAUDE.md Mosaic gotchas)."""
+    dots = jax.lax.dot_general(
+        qc_ref[...],
+        codes_ref[0],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)  # [B, TILE]
+    sq = qmeta_ref[..., 0:1]  # [B, 1]
+    qsum = qmeta_ref[..., 1:2]  # [B, 1]
+    scale_mat = jax.lax.dot_general(
+        sq, a_ref[0],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [B, TILE] = sq (x) (scale*inv)
+    outer = jax.lax.dot_general(
+        qsum, bv_ref[0],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [B, TILE]
+    scores = scale_mat * dots + outer + bias_ref[0]
+    b = scores.shape[0]
+    regs = scores.reshape(b, tile // BAND_LANES, BAND_LANES)
+    out_ref[0] = jnp.max(regs, axis=1)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("k", "k_bands", "interpret")
+    jax.jit, static_argnames=("k", "k_bands", "interpret", "use_s8")
 )
 def flat_search_pallas(
     queries: jax.Array,
@@ -88,6 +132,7 @@ def flat_search_pallas(
     k_bands: int = 64,
     valid_mask: jax.Array | None = None,
     interpret: bool = False,
+    use_s8: bool = True,
 ):
     """Drop-in sibling of cosine.scan_topk for large batched flat search.
 
@@ -117,28 +162,46 @@ def flat_search_pallas(
     bias = jnp.where(live, 0.0, cosine.NEG_INF).reshape(tiles, 1, TILE_N)
     codes_t = codes.reshape(tiles, TILE_N, d)
 
-    bands = pl.pallas_call(
-        functools.partial(_flat_kernel, tile=TILE_N),
-        grid=(tiles,),
+    # query tiling: pad B to a TILE_Q multiple; grid iterates query blocks
+    # fastest so each code tile is fetched once and reused across them
+    tq = min(TILE_Q, max(8, b))
+    b_pad = (-b) % tq
+    bt = (b + b_pad) // tq
+    specs = dict(
+        grid=(tiles, bt),
         in_specs=[
-            pl.BlockSpec((b, d), lambda t: (0, 0)),
-            pl.BlockSpec((b, 1), lambda t: (0, 0)),
-            pl.BlockSpec((1, TILE_N, d), lambda t: (t, 0, 0)),
-            pl.BlockSpec((1, 1, TILE_N), lambda t: (t, 0, 0)),
-            pl.BlockSpec((1, 1, TILE_N), lambda t: (t, 0, 0)),
-            pl.BlockSpec((1, 1, TILE_N), lambda t: (t, 0, 0)),
+            pl.BlockSpec((tq, d), lambda t, qb: (qb, 0)),
+            None,  # filled per variant below
+            pl.BlockSpec((1, TILE_N, d), lambda t, qb: (t, 0, 0)),
+            pl.BlockSpec((1, 1, TILE_N), lambda t, qb: (t, 0, 0)),
+            pl.BlockSpec((1, 1, TILE_N), lambda t, qb: (t, 0, 0)),
+            pl.BlockSpec((1, 1, TILE_N), lambda t, qb: (t, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, b, BAND_LANES), lambda t: (t, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((tiles, b, BAND_LANES), jnp.float32),
+        out_specs=pl.BlockSpec(
+            (1, tq, BAND_LANES), lambda t, qb: (t, qb, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (tiles, b + b_pad, BAND_LANES), jnp.float32
+        ),
         interpret=interpret,
-    )(
-        qn.astype(jnp.bfloat16),
-        qsum,
-        codes_t,
-        a,
-        bv,
-        bias,
     )
+    if use_s8:
+        q_codes, q_scale, _ = cosine.quantize_queries(qn)
+        qmeta = jnp.stack([q_scale, qsum[:, 0]], axis=-1)  # [B, 2]
+        q_codes = jnp.pad(q_codes, ((0, b_pad), (0, 0)))
+        qmeta = jnp.pad(qmeta, ((0, b_pad), (0, 0)))
+        specs["in_specs"][1] = pl.BlockSpec((tq, 2), lambda t, qb: (qb, 0))
+        bands = pl.pallas_call(
+            functools.partial(_flat_kernel_s8, tile=TILE_N), **specs
+        )(q_codes, qmeta, codes_t, a, bv, bias)
+    else:
+        q_in = jnp.pad(qn.astype(jnp.bfloat16), ((0, b_pad), (0, 0)))
+        qsum_in = jnp.pad(qsum, ((0, b_pad), (0, 0)))
+        specs["in_specs"][1] = pl.BlockSpec((tq, 1), lambda t, qb: (qb, 0))
+        bands = pl.pallas_call(
+            functools.partial(_flat_kernel, tile=TILE_N), **specs
+        )(q_in, qsum_in, codes_t, a, bv, bias)
+    bands = bands[:, :b]  # drop query padding
 
     # band sketch -> candidate bands -> candidate rows -> exact rescore
     flat_bands = jnp.moveaxis(bands, 1, 0).reshape(b, tiles * BAND_LANES)
