@@ -308,3 +308,17 @@ def test_warmup_noop_and_compile(engine):
     engine.warmup()  # compiles the serving shapes without error
     hits = engine.search("alice", "docs", "banana tropical", count=1)
     assert hits
+
+
+def test_upload_right_after_missed_search(tmp_path):
+    """A search for a missing owner must not poison the cache with None:
+    an upload inside the TTL window then creates the owner normally."""
+    store = Store(":memory:")
+    eng = Engine(store, WordHashAI(), cache=EngineCache(ttl=60.0))
+    assert eng.search("alice", "docs", "x") == []  # caches nothing
+    ids = eng.upload("alice", "docs", FRUIT_DOCS[:1])
+    assert ids
+    hits = eng.search("alice", "docs", "apple orchard", count=1)
+    assert hits and hits[0].document_id == ids[0]
+    eng.close()
+    store.close()

@@ -57,8 +57,13 @@ class TTLCache:
             raise
         else:
             flight.value = value
-            with self._lock:
-                self._entries[key] = (value, time.monotonic() + self.ttl)
+            # None = not-found: do NOT cache it (reference parity — a miss
+            # propagates ErrRecordNotFound and is never stored, so an
+            # upload right after a failed search can create the row,
+            # cache/middleware.go:22-56)
+            if value is not None:
+                with self._lock:
+                    self._entries[key] = (value, time.monotonic() + self.ttl)
             return value
         finally:
             with self._lock:
