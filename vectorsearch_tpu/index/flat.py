@@ -231,8 +231,7 @@ class FlatIndex:
             scores, slots = cosine.rescore_topk(
                 queries, self.packed, scores, slots, k
             )
-        scores = np.asarray(scores)
-        slots = np.asarray(slots)
+        scores, slots = jax.device_get((scores, slots))  # one transfer
         # slots of -inf entries may point into scan padding; clip before the
         # id lookup, then null them out.
         safe = np.clip(slots, 0, len(self.ids) - 1)

@@ -300,8 +300,7 @@ class IVFIndex:
             scores, gslot = cosine.rescore_topk(
                 queries, flat_view, scores, gslot, k
             )
-        scores = np.asarray(scores)
-        gslot = np.asarray(gslot)
+        scores, gslot = jax.device_get((scores, gslot))  # one transfer
         flat_ids = self.ids.reshape(-1)
         safe = np.clip(gslot, 0, flat_ids.size - 1)
         out_ids = np.where(np.isneginf(scores), -1, flat_ids[safe])
