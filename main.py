@@ -151,6 +151,20 @@ def main(argv: list[str]) -> int:
 
     threading.Thread(target=_startup, daemon=True).start()
 
+    if cfg.database.sync_interval > 0:
+        # multi-instance deployments: poll the shared store for divergence
+        def _sync_loop():
+            import time as _time
+
+            while True:
+                _time.sleep(cfg.database.sync_interval)
+                try:
+                    engine.sync_with_store()
+                except Exception as e:
+                    sugar().warning("store sync failed: %s", e)
+
+        threading.Thread(target=_sync_loop, daemon=True).start()
+
     try:
         asyncio.run(serve(cfg, engine))
     finally:

@@ -322,3 +322,36 @@ def test_upload_right_after_missed_search(tmp_path):
     assert hits and hits[0].document_id == ids[0]
     eng.close()
     store.close()
+
+
+def test_multi_instance_sync(tmp_path):
+    """Two engine instances over one shared store: writes from A become
+    visible on B after sync_with_store (the reference reads SQL per search;
+    HBM residency trades that for explicit sync)."""
+    db = str(tmp_path / "shared.sqlite")
+    store_a = Store(db)
+    store_b = Store(db)
+    a = Engine(store_a, WordHashAI(), cache=EngineCache(ttl=0.0))
+    b = Engine(store_b, WordHashAI(), cache=EngineCache(ttl=0.0))
+
+    ids = a.upload("alice", "docs", FRUIT_DOCS)
+    assert b.search("alice", "docs", "banana tropical") == []  # stale B
+    assert b.sync_with_store()  # detects the new category+rows
+    hits = b.search("alice", "docs", "banana tropical", count=1, centroids=-1)
+    assert hits and hits[0].document_id == ids[1]
+
+    # incremental change: A uploads more; B syncs the diff
+    a.upload("alice", "docs", [{"name": "kiwi", "document": {"text": "kiwi fruit"}}])
+    assert b.sync_with_store()
+    hits = b.search("alice", "docs", "kiwi fruit", count=1, centroids=-1)
+    assert hits and hits[0].name == "kiwi"
+
+    # no-op when nothing changed
+    assert b.sync_with_store() == []
+
+    # remote delete propagates
+    a.delete_owner("alice")
+    assert b.sync_with_store()
+    assert b.search("alice", "docs", "kiwi fruit") == []
+    for e, s in ((a, store_a), (b, store_b)):
+        e.close(); s.close()

@@ -85,6 +85,10 @@ class DatabaseConfig:
     cache: str = "./vectorcache"
     snapshots: str = "./snapshots"
     log_level: str = "error"
+    # multi-instance: seconds between store-divergence syncs (0 = off).
+    # Other instances' writes become visible within this window (the
+    # reference's window is its per-search SQL read + 5s centroid cache).
+    sync_interval: float = 0.0
 
     @staticmethod
     def parse(d: dict | None) -> "DatabaseConfig":
@@ -95,6 +99,7 @@ class DatabaseConfig:
             cache=d.get("cache", "./vectorcache"),
             snapshots=d.get("snapshots", "./snapshots"),
             log_level=d.get("log_level", "error"),
+            sync_interval=float(d.get("sync_interval", 0.0)),
         )
 
     def to_dict(self) -> dict:
@@ -104,6 +109,7 @@ class DatabaseConfig:
             "cache": self.cache,
             "snapshots": self.snapshots,
             "log_level": self.log_level,
+            "sync_interval": self.sync_interval,
         }
 
 

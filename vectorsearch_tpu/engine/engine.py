@@ -511,6 +511,56 @@ class Engine:
         if self.snapshot_dir is not None:
             snapshots.purge(self.snapshot_dir, f"cat-{category_id}")
 
+    # ------------------------------------------------------------------- sync
+
+    def sync_with_store(self, category_id: int | None = None) -> list[int]:
+        """Reload categories whose SQL state diverged from this instance's
+        HBM index (another instance wrote through the shared store).
+
+        The reference gets multi-instance read consistency for free by
+        scanning SQL on every search (server/search.go:241-273); the
+        HBM-resident design trades that for explicit sync: compare cheap
+        DB aggregates (embedding count + centroid ids) and reload only the
+        categories that changed. Returns the reloaded category ids."""
+        reloaded = []
+        db_cats = {c.id: c for c in self.store.all_categories()}
+        with self._states_lock:
+            known = dict(self._states)
+        # categories created remotely
+        for cid in db_cats.keys() - known.keys():
+            with self._states_lock:
+                self._states[cid] = self._load_category(cid)
+            reloaded.append(cid)
+        # categories deleted remotely
+        for cid in known.keys() - db_cats.keys():
+            self._drop_state(cid)
+            reloaded.append(cid)
+        if category_id is not None:
+            cats = [category_id] if category_id in db_cats else []
+        else:
+            cats = [c for c in db_cats if c in known]
+        for cid in cats:
+            st = known.get(cid)
+            if st is None:
+                continue
+            n_db = self.store.count_embeddings(cid)
+            cent_db = [r.id for r in self.store.centroids(cid)]
+            n_local = st.ivf.n_live if st.ivf else 0
+            if n_db != n_local or cent_db != st.centroid_db_ids:
+                fresh = self._load_category(cid)
+                with st.lock:
+                    st.ivf = fresh.ivf
+                    st.centroid_db_ids = fresh.centroid_db_ids
+                    st.doc_map = fresh.doc_map
+                    st.sharded = None
+                self.cache.invalidate_all()
+                reloaded.append(cid)
+                sugar().info(
+                    "category %d synced from store (%d -> %d rows)",
+                    cid, n_local, n_db,
+                )
+        return reloaded
+
     # ----------------------------------------------------------------- warmup
 
     def warmup(self) -> None:
