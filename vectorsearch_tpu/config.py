@@ -82,6 +82,10 @@ class AIConfig:
 class DatabaseConfig:
     sqlite: str = "./vectorstore.db"
     postgres: list[str] = field(default_factory=list)
+    # `cache` is accepted for config-file compatibility with the reference
+    # (its dnc/ builder staged temp files there, purged at boot —
+    # database/database.go:31-44); this rebuild stages nothing on disk, so
+    # the field is unused. Snapshots live under `snapshots`.
     cache: str = "./vectorcache"
     snapshots: str = "./snapshots"
     log_level: str = "error"
