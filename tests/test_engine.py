@@ -355,3 +355,35 @@ def test_multi_instance_sync(tmp_path):
     assert b.search("alice", "docs", "kiwi fruit") == []
     for e, s in ((a, store_a), (b, store_b)):
         e.close(); s.close()
+
+
+def test_snapshot_stale_on_centroid_change(tmp_path):
+    """A rebuild that changes the centroid set but not the row count must
+    invalidate the snapshot (centroid ids recorded in snapshot meta)."""
+    db = str(tmp_path / "db.sqlite")
+    snaps = str(tmp_path / "snaps")
+    store = Store(db)
+    eng = Engine(store, WordHashAI(), snapshot_dir=snaps)
+    docs = [
+        {"name": f"d{i}", "document": {"text": f"w{i % 4} common {i}"}}
+        for i in range(40)
+    ]
+    eng.upload("alice", "docs", docs)
+    eng.close()  # snapshot A: 1 bootstrap centroid, 40 rows
+
+    # rebuild through an engine WITHOUT snapshots: DB centroids change,
+    # row count stays 40 -> snapshot A is silently stale
+    eng_b = Engine(store, WordHashAI(), snapshot_dir=None)
+    eng_b.refresh_centroids(target_cluster_size=10, chunk=64)
+    eng_b.close()
+
+    eng2 = Engine(store, WordHashAI(), snapshot_dir=snaps)
+    cat = store.get_category(store.get_owner("alice").id, "docs")
+    st = eng2._state_for(cat.id, create=False)
+    # restored state must match the DB's rebuilt centroid set, not snapshot A
+    assert st.ivf.k_clusters == len(store.centroids(cat.id))
+    assert st.ivf.k_clusters >= 2
+    hits = eng2.search("alice", "docs", "w2 common", count=3, centroids=-1)
+    assert hits
+    eng2.close()
+    store.close()

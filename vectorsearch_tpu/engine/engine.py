@@ -98,7 +98,7 @@ class Engine:
             for cid, st in states.items():
                 if st.ivf is not None and st.ivf.n_live > 0:
                     try:
-                        self._save_snapshot(cid, st.ivf)
+                        self._save_snapshot(cid, st.ivf, st.centroid_db_ids)
                     except Exception as e:
                         sugar().warning("snapshot of category %d failed: %s", cid, e)
         self.cache.close()
@@ -125,7 +125,9 @@ class Engine:
             ]
         ).astype(np.float32)
 
-        restored = self._try_restore_snapshot(category_id, centroids)
+        restored = self._try_restore_snapshot(
+            category_id, centroids, state.centroid_db_ids
+        )
         if restored is not None:
             state.ivf = restored
             return state
@@ -151,7 +153,9 @@ class Engine:
 
     # -------------------------------------------------------------- snapshots
 
-    def _try_restore_snapshot(self, category_id: int, centroids) -> IVFIndex | None:
+    def _try_restore_snapshot(
+        self, category_id: int, centroids, centroid_db_ids: list[int]
+    ) -> IVFIndex | None:
         if self.snapshot_dir is None:
             return None
         loaded = snapshots.load(self.snapshot_dir, f"cat-{category_id}")
@@ -167,6 +171,13 @@ class Engine:
                 n_db,
             )
             return None
+        snap_cents = meta.get("centroid_db_ids")
+        if snap_cents is not None and snap_cents != [int(c) for c in centroid_db_ids]:
+            sugar().info(
+                "snapshot for category %d has a different centroid set, rebuilding",
+                category_id,
+            )
+            return None
         packed = PackedVectors(
             codes=arrays["codes"],
             scale=arrays["scale"],
@@ -180,7 +191,9 @@ class Engine:
             assignments=arrays.get("assignments"),
         )
 
-    def _save_snapshot(self, category_id: int, ivf: IVFIndex):
+    def _save_snapshot(
+        self, category_id: int, ivf: IVFIndex, centroid_db_ids: list[int]
+    ):
         if self.snapshot_dir is None:
             return
         packed, ids = ivf.export_live()
@@ -200,7 +213,14 @@ class Engine:
         if assignments is not None:
             arrays["assignments"] = assignments
         scope = f"cat-{category_id}"
-        snapshots.save(self.snapshot_dir, scope, arrays, {"n": len(ids)})
+        snapshots.save(
+            self.snapshot_dir,
+            scope,
+            arrays,
+            # centroid_db_ids lets restore detect a rebuild that changed the
+            # centroid set without changing the row count
+            {"n": len(ids), "centroid_db_ids": [int(c) for c in centroid_db_ids]},
+        )
         snapshots.prune(self.snapshot_dir, scope, keep=2)
 
     # ------------------------------------------------------------------ state
@@ -664,7 +684,7 @@ class Engine:
                 state.centroid_db_ids = list(new_db_ids)
                 state.sharded = sharded
             self.cache.centroids.invalidate(category_id)
-            self._save_snapshot(category_id, new_ivf)
+            self._save_snapshot(category_id, new_ivf, list(new_db_ids))
             sugar().info(
                 "category %d rebuilt: %d centroids over %d vectors",
                 category_id,
