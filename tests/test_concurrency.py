@@ -141,3 +141,99 @@ def test_singleflight_error_propagates_then_recovers():
         cache.get_or_load("k", loader)
     state["fail"] = False
     assert cache.get_or_load("k", loader) == 42
+
+
+def test_upload_during_rebuild_survives(monkeypatch):
+    """Regression for the rebuild race: a document uploaded WHILE the
+    k-means build is running must survive the centroid swap in both SQL
+    and the HBM index (previously the NOT-IN centroid delete cascade-wiped
+    its embeddings and the ivf swap dropped its vectors)."""
+    from vectorsearch_tpu.engine import engine as engine_mod
+
+    store = Store(":memory:")
+    eng = Engine(store, WordHashAI(), cache=EngineCache(ttl=0.0))
+    eng.upload(
+        "alice",
+        "docs",
+        [{"name": f"d{i}", "document": {"text": f"w{i % 3} base {i}"}} for i in range(30)],
+    )
+    cat = store.get_category(store.get_owner("alice").id, "docs")
+
+    build_started = threading.Event()
+    upload_done = threading.Event()
+    real_build = engine_mod.build_centroids
+
+    def slow_build(*a, **kw):
+        build_started.set()
+        assert upload_done.wait(30)
+        return real_build(*a, **kw)
+
+    monkeypatch.setattr(engine_mod, "build_centroids", slow_build)
+
+    result = {}
+
+    def rebuild():
+        result["ok"] = eng.refresh_category(cat.id, target_cluster_size=10, chunk=64)
+
+    t = threading.Thread(target=rebuild)
+    t.start()
+    assert build_started.wait(30)
+    mid_ids = eng.upload(
+        "alice", "docs", [{"name": "mid", "document": {"text": "midbuild zebra unique"}}]
+    )
+    upload_done.set()
+    t.join(timeout=60)
+    assert result.get("ok") is True
+
+    # SQL survived (the embedding row still exists and maps to a live centroid)
+    assert store.embeddings_for_documents(mid_ids) != []
+    assert store.count_embeddings(cat.id) == 31
+    # HBM index survived
+    hits = eng.search("alice", "docs", "midbuild zebra unique", count=1, centroids=-1)
+    assert hits and hits[0].document_id == mid_ids[0]
+    # and a delete during... (bonus) normal delete still works post-rebuild
+    eng.delete_document("alice", "docs", mid_ids[0])
+    hits = eng.search("alice", "docs", "midbuild zebra unique", count=1, centroids=-1)
+    assert not hits or hits[0].document_id != mid_ids[0]
+    eng.close()
+    store.close()
+
+
+def test_delete_during_rebuild_stays_deleted(monkeypatch):
+    """A document deleted while the build runs must stay deleted after the
+    swap (the rebuilt index was packed from the pre-delete snapshot)."""
+    from vectorsearch_tpu.engine import engine as engine_mod
+
+    store = Store(":memory:")
+    eng = Engine(store, WordHashAI(), cache=EngineCache(ttl=0.0))
+    ids = eng.upload(
+        "alice",
+        "docs",
+        [{"name": f"d{i}", "document": {"text": f"w{i % 3} base {i}"}} for i in range(30)],
+    )
+    cat = store.get_category(store.get_owner("alice").id, "docs")
+
+    build_started = threading.Event()
+    delete_done = threading.Event()
+    real_build = engine_mod.build_centroids
+
+    def slow_build(*a, **kw):
+        build_started.set()
+        assert delete_done.wait(30)
+        return real_build(*a, **kw)
+
+    monkeypatch.setattr(engine_mod, "build_centroids", slow_build)
+    t = threading.Thread(
+        target=lambda: eng.refresh_category(cat.id, target_cluster_size=10, chunk=64)
+    )
+    t.start()
+    assert build_started.wait(30)
+    eng.delete_document("alice", "docs", ids[0])
+    delete_done.set()
+    t.join(timeout=60)
+
+    hits = eng.search("alice", "docs", "w0 base 0", count=5, centroids=-1)
+    assert all(h.document_id != ids[0] for h in hits)
+    assert store.count_embeddings(cat.id) == 29
+    eng.close()
+    store.close()

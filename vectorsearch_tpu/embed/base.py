@@ -18,7 +18,17 @@ NO_CTX = -(2**62)  # reference uses -math.MaxInt (noop/ai.go:97-108)
 
 
 def quantize_embeddings(vectors) -> list[np.ndarray]:
-    """float lists -> wire rows (the provider-boundary quantization)."""
+    """float lists -> wire rows (the provider-boundary quantization).
+
+    Equal-length batches quantize as one (N, D) array so the native C++
+    fast path (codec.quantize's 2-D branch) applies."""
+    vectors = list(vectors)
+    if not vectors:
+        return []
+    lengths = {len(v) for v in vectors}
+    if len(lengths) == 1:
+        wire = codec.quantize(np.asarray(vectors, np.float32))
+        return list(wire)
     return [codec.quantize(np.asarray(v, np.float32)) for v in vectors]
 
 

@@ -34,8 +34,9 @@ class SessionManager:
         with self._lock:
             sess, used = self._sessions.get(host, (None, 0))
             if sess is None or used >= self._max:
-                if sess is not None:
-                    sess.close()
+                # do NOT close the old session here: another thread may
+                # still have a request in flight on it; dropping the
+                # reference lets keep-alive expiry / GC reclaim it
                 sess, used = requests.Session(), 0
             self._sessions[host] = (sess, used + 1)
             return sess
@@ -81,7 +82,9 @@ class ProviderClient:
         self.sessions = sessions or SessionManager()
 
     def post_json(self, path: str, payload: bytes, stream: bool = False, timeout=120):
-        with self.pool.acquire() as base:
+        ctx = self.pool.acquire()
+        base = ctx.__enter__()
+        try:
             url = urljoin(base if base.endswith("/") else base + "/", path.lstrip("/"))
             headers = {"Content-Type": "application/json", "Accept-Encoding": "zstd"}
             body = payload
@@ -94,7 +97,26 @@ class ProviderClient:
             resp = sess.post(
                 url, data=body, headers=headers, stream=stream, timeout=timeout
             )
+        except BaseException:
+            ctx.__exit__(None, None, None)
+            raise
+        if not stream:
+            # body already buffered; release the active-connection slot now
+            ctx.__exit__(None, None, None)
             return resp
+        # streaming: the connection stays busy until the body is consumed —
+        # keep the least-connections slot held until close()
+        orig_close = resp.close
+        released = []
+
+        def close_and_release():
+            if not released:
+                released.append(True)
+                ctx.__exit__(None, None, None)
+            orig_close()
+
+        resp.close = close_and_release
+        return resp
 
     @staticmethod
     def read_body(resp) -> bytes:

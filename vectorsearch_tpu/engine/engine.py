@@ -38,6 +38,15 @@ from .textprep import document_prefix, flatten, split
 MAX_RESULTS = 20  # reference clamps count to [1, 20] (server/search.go:116)
 
 
+def _k_class(want: int) -> int:
+    """Over-fetch size class for `want` unique documents: pow2 so jit
+    programs are reused across requests (k is a static shape parameter)."""
+    k = 16
+    while k < want * 4:
+        k *= 2
+    return min(k, 1024)
+
+
 @dataclass
 class CategoryState:
     """Runtime (HBM) state for one category."""
@@ -383,18 +392,14 @@ class Engine:
         query = codec.dequantize(np.asarray(wire, np.uint8)[None])
 
         # Over-fetch to survive per-document dedup (multiple sections per
-        # doc), rounded up to a power-of-two size class so jit programs are
-        # reused across requests (k is a static shape parameter).
+        # doc), in pow2 size classes shared with warmup (see _k_class).
         want = count + offset
-        k = 16
-        while k < want * 4:
-            k *= 2
-        k = min(k, 1024)
+        k = _k_class(want)
         # refine=k: exact f32 re-rank of the whole over-fetched candidate
         # set (removes query-quantization ordering noise at ~zero cost)
         sharded = state.sharded
         if sharded is not None:
-            scores, emb_ids = sharded.search(query, k=k, nprobe=nprobe)
+            scores, emb_ids = sharded.search(query, k=k, nprobe=nprobe, refine=k)
         else:
             scores, emb_ids = ivf.search(query, k=k, nprobe=nprobe, refine=k)
 
@@ -546,10 +551,12 @@ class Engine:
         db_cats = {c.id: c for c in self.store.all_categories()}
         with self._states_lock:
             known = dict(self._states)
-        # categories created remotely
+        # categories created remotely (load OUTSIDE the global lock — a
+        # big category's stream+pack+compile must not stall all serving)
         for cid in db_cats.keys() - known.keys():
+            fresh = self._load_category(cid)
             with self._states_lock:
-                self._states[cid] = self._load_category(cid)
+                self._states.setdefault(cid, fresh)
             reloaded.append(cid)
         # categories deleted remotely
         for cid in known.keys() - db_cats.keys():
@@ -596,9 +603,10 @@ class Engine:
             try:
                 dummy = np.zeros((1, ivf.dim), np.float32)
                 dummy[0, 0] = 1.0
-                ivf.search(dummy, k=16, nprobe=1, refine=16)
+                k = _k_class(10)  # the default request's shape class
+                ivf.search(dummy, k=k, nprobe=1, refine=k)
                 sugar().info(
-                    "warmed category %d (dim %d)", st.category_id, ivf.dim
+                    "warmed category %d (dim %d, k=%d)", st.category_id, ivf.dim, k
                 )
             except Exception as e:
                 sugar().warning("warmup failed for %d: %s", st.category_id, e)
@@ -652,6 +660,8 @@ class Engine:
             sugar().info("category %d locked by another instance, skipping", category_id)
             return False
         try:
+            # Phase 1 (no lock): snapshot + long k-means build. Concurrent
+            # uploads/deletes keep mutating state.ivf meanwhile.
             ivf = state.ivf
             packed, ids = ivf.export_live()
             if len(ids) == 0:
@@ -660,43 +670,78 @@ class Engine:
             new_ivf = IVFIndex.build(
                 packed, ids, result.centroids, assignments=result.assignments
             )
-            # persist: wire-encode centroids, swap rows + remap embeddings
-            cent_wires = [
-                codec.quantize(result.centroids[i]).tobytes()
-                for i in range(result.centroids.shape[0])
-            ]
             reassign = {
                 int(eid): int(c) for eid, c in zip(ids, result.assignments)
             }
-            new_db_ids = self.store.replace_centroids(
-                category_id, cent_wires, reassign
-            )
-            sharded = None
-            if self.mesh is not None:
+
+            # Phase 2 (under state.lock): reconcile rows that changed while
+            # the build ran, persist, and swap. Without this reconciliation
+            # replace_centroids' NOT-IN delete would CASCADE away any
+            # embedding inserted during the build (its row references an
+            # old centroid id absent from the reassign map) and the ivf
+            # swap would drop it from HBM — silent data loss.
+            with state.lock:
+                cur = state.ivf
+                exported = set(int(i) for i in ids)
+                live_now = set(int(i) for i in cur.live_ids())
+                added = np.asarray(sorted(live_now - exported), np.int64)
+                removed = np.asarray(sorted(exported - live_now), np.int64)
+                if added.size:
+                    rows, row_ids = cur.extract_rows(added)
+                    cids = new_ivf.assign(rows)
+                    new_ivf = new_ivf.insert(rows, row_ids, cids=cids)
+                    reassign.update(
+                        (int(e), int(c)) for e, c in zip(row_ids, cids)
+                    )
+                if removed.size:
+                    new_ivf = new_ivf.remove_ids(removed)
+                    for e in removed:
+                        reassign.pop(int(e), None)
+
+                cent_wires = [
+                    codec.quantize(result.centroids[i]).tobytes()
+                    for i in range(result.centroids.shape[0])
+                ]
+                new_db_ids = self.store.replace_centroids(
+                    category_id, cent_wires, reassign
+                )
+                state.ivf = new_ivf
+                state.centroid_db_ids = list(new_db_ids)
+                state.sharded = None
+
+            # Phase 3 (no lock): replica, snapshot, warm.
+            if self.mesh is not None and not added.size and not removed.size:
                 from ..parallel import ShardedIVF
 
                 sharded = ShardedIVF.build(
                     self.mesh, packed, ids, result.centroids,
                     assignments=result.assignments,
                 )
-            with state.lock:
-                state.ivf = new_ivf
-                state.centroid_db_ids = list(new_db_ids)
-                state.sharded = sharded
+                with state.lock:
+                    # only install if nothing mutated since the swap
+                    if state.ivf is new_ivf:
+                        state.sharded = sharded
             self.cache.centroids.invalidate(category_id)
             self._save_snapshot(category_id, new_ivf, list(new_db_ids))
             sugar().info(
-                "category %d rebuilt: %d centroids over %d vectors",
+                "category %d rebuilt: %d centroids over %d vectors (%d added, %d removed during build)",
                 category_id,
                 result.centroids.shape[0],
-                len(ids),
+                new_ivf.n_live,
+                added.size,
+                removed.size,
             )
-            # pre-compile the new index shapes so the first request after a
-            # rebuild doesn't absorb jit latency
+            # pre-compile the serving shapes actually used by Engine.search
+            # for a default request (k class for count=10)
             try:
                 dummy = np.zeros((1, new_ivf.dim), np.float32)
                 dummy[0, 0] = 1.0
-                (state.sharded or new_ivf).search(dummy, k=16, nprobe=1)
+                k = _k_class(10)
+                target = state.sharded or new_ivf
+                if target is new_ivf:
+                    target.search(dummy, k=k, nprobe=1, refine=k)
+                else:
+                    target.search(dummy, k=k, nprobe=1)
             except Exception:
                 pass
             return True

@@ -306,7 +306,7 @@ class IVFIndex:
         out_ids = np.where(np.isneginf(scores), -1, flat_ids[safe])
 
         if self.spill.live > 0:
-            s2, i2 = self.spill.search(queries, k)
+            s2, i2 = self.spill.search(queries, k, refine=refine)
             both_s = np.concatenate([scores, s2], axis=-1)
             both_i = np.concatenate([out_ids, i2], axis=-1)
             take = np.argsort(-both_s, axis=-1, kind="stable")[:, :k]
@@ -415,6 +415,52 @@ class IVFIndex:
         return idx
 
     # ---- maintenance ----
+
+    def live_ids(self) -> np.ndarray:
+        """External ids of every live row (buckets + spill), host-side."""
+        live = np.asarray(self.bucket_mask)
+        out = self.ids[live]
+        if self.spill.live > 0:
+            smask = np.asarray(self.spill.mask)[: self.spill.n]
+            out = np.concatenate([out, self.spill.ids[: self.spill.n][smask]])
+        return out
+
+    def extract_rows(self, wanted: np.ndarray) -> tuple[PackedVectors, np.ndarray]:
+        """Host-side gather of the live rows whose external id is in
+        `wanted` (order not preserved). Used by the rebuild swap to pick up
+        rows inserted while a build was running."""
+        wanted = np.asarray(wanted, np.int64)
+        live = np.asarray(self.bucket_mask)
+        hit = np.isin(self.ids, wanted) & live
+        cid, slot = np.nonzero(hit)
+        packed = PackedVectors(
+            codes=np.asarray(self.buckets.codes)[cid, slot],
+            scale=np.asarray(self.buckets.scale)[cid, slot],
+            offset=np.asarray(self.buckets.offset)[cid, slot],
+            inv_norm=np.asarray(self.buckets.inv_norm)[cid, slot],
+        )
+        ids = self.ids[cid, slot]
+        if self.spill.live > 0:
+            smask = np.asarray(self.spill.mask)[: self.spill.n]
+            shit = smask & np.isin(self.spill.ids[: self.spill.n], wanted)
+            keep = np.nonzero(shit)[0]
+            if keep.size:
+                packed = PackedVectors(
+                    codes=np.concatenate(
+                        [packed.codes, np.asarray(self.spill.packed.codes)[keep]]
+                    ),
+                    scale=np.concatenate(
+                        [packed.scale, np.asarray(self.spill.packed.scale)[keep]]
+                    ),
+                    offset=np.concatenate(
+                        [packed.offset, np.asarray(self.spill.packed.offset)[keep]]
+                    ),
+                    inv_norm=np.concatenate(
+                        [packed.inv_norm, np.asarray(self.spill.packed.inv_norm)[keep]]
+                    ),
+                )
+                ids = np.concatenate([ids, self.spill.ids[keep]])
+        return packed, ids
 
     def export_live(self) -> tuple[PackedVectors, np.ndarray]:
         """All live rows (buckets + spill) as host arrays, for rebuilds."""

@@ -75,12 +75,29 @@ def _flat_scan_factory(mesh: Mesh, k: int, chunk: int, rows: int, approx: bool =
 
 
 @functools.lru_cache(maxsize=64)
-def _ivf_scan_factory(mesh: Mesh, k: int, nprobe_local: int, k_per: int, cap: int):
+def _ivf_scan_factory(
+    mesh: Mesh, k: int, nprobe_local: int, k_per: int, cap: int, refine: int = 0
+):
     def local(queries, cents_n, buckets, counts, mask):
         my = jax.lax.axis_index(DATA_AXIS)
+        k_coarse = max(k, refine) if refine else k
         s, gslot = _ivf_scan(
-            queries, cents_n, buckets, counts, mask, nprobe=nprobe_local, k=k
+            queries, cents_n, buckets, counts, mask,
+            nprobe=nprobe_local, k=k_coarse,
         )
+        if refine:
+            # exact f32 re-rank against the LOCAL bucket store (gslot is a
+            # local flat index here, before the shard offset) — keeps the
+            # sharded path's ranking consistent with the single-device
+            # refine stage
+            d = buckets.codes.shape[-1]
+            flat_view = PackedVectors(
+                codes=buckets.codes.reshape(-1, d),
+                scale=buckets.scale.reshape(-1),
+                offset=buckets.offset.reshape(-1),
+                inv_norm=buckets.inv_norm.reshape(-1),
+            )
+            s, gslot = cosine.rescore_topk(queries, flat_view, s, gslot, k)
         gslot = jnp.where(jnp.isneginf(s), -1, gslot + my * (k_per * cap))
         return _merge_gathered(s, gslot, k, queries.shape[0])
 
@@ -223,14 +240,14 @@ class ShardedIVF:
             k_clusters=kk,
         )
 
-    def search(self, queries, k: int, nprobe: int = 1):
+    def search(self, queries, k: int, nprobe: int = 1, refine: int = 0):
         queries = jnp.atleast_2d(jnp.asarray(queries, jnp.float32))
         n_dev = self.mesh.devices.size
         if nprobe < 0:
             nprobe = self.k_clusters
         nprobe_local = max(1, min(-(-nprobe // n_dev), self.clusters_per_shard))
         fn = _ivf_scan_factory(
-            self.mesh, k, nprobe_local, self.clusters_per_shard, self.cap
+            self.mesh, k, nprobe_local, self.clusters_per_shard, self.cap, refine
         )
         s, gi = fn(
             queries, self.centroids_n, self.buckets, self.counts, self.bucket_mask
