@@ -84,16 +84,20 @@ class OllamaAI(AIProvider):
         ).encode()
         resp = self._generate.post_json("/api/generate", payload, stream=True)
         if resp.status_code != 200:
+            resp.close()
             raise AIError(f"ollama ({resp.status_code})")
-        for line in resp.iter_lines():
-            if not line:
-                continue
-            obj = json.loads(line)
-            delta = obj.get("response", "")
-            if delta:
-                yield delta
-            if obj.get("done"):
-                return
+        try:
+            for line in resp.iter_lines():
+                if not line:
+                    continue
+                obj = json.loads(line)
+                delta = obj.get("response", "")
+                if delta:
+                    yield delta
+                if obj.get("done"):
+                    return
+        finally:
+            resp.close()  # releases the least-connections slot
 
     def chat(self, messages, model=None) -> str:
         payload = json.dumps(
@@ -120,16 +124,20 @@ class OllamaAI(AIProvider):
         ).encode()
         resp = self._chat.post_json("/api/chat", payload, stream=True)
         if resp.status_code != 200:
+            resp.close()
             raise AIError(f"ollama ({resp.status_code})")
-        for line in resp.iter_lines():
-            if not line:
-                continue
-            obj = json.loads(line)
-            delta = obj.get("message", {}).get("content", "")
-            if delta:
-                yield delta
-            if obj.get("done"):
-                return
+        try:
+            for line in resp.iter_lines():
+                if not line:
+                    continue
+                obj = json.loads(line)
+                delta = obj.get("message", {}).get("content", "")
+                if delta:
+                    yield delta
+                if obj.get("done"):
+                    return
+        finally:
+            resp.close()  # releases the least-connections slot
 
     def embed_ctx_num(self):
         return self.cfg.embed.num_ctx if self._embed else super().embed_ctx_num()

@@ -87,16 +87,20 @@ class OpenAIAI(AIProvider):
         ).encode()
         resp = self._generate.post_json("/v1/completions", payload, stream=True)
         if resp.status_code != 200:
+            resp.close()
             raise AIError(f"openai ({resp.status_code})")
-        for obj in self._iter_sse(resp):
-            for choice in sorted(
-                obj.get("choices", []), key=lambda c: c.get("index", 0)
-            ):
-                text = choice.get("text", "")
-                if text:
-                    yield text
-                if choice.get("finish_reason"):
-                    return
+        try:
+            for obj in self._iter_sse(resp):
+                for choice in sorted(
+                    obj.get("choices", []), key=lambda c: c.get("index", 0)
+                ):
+                    text = choice.get("text", "")
+                    if text:
+                        yield text
+                    if choice.get("finish_reason"):
+                        return
+        finally:
+            resp.close()  # releases the least-connections slot
 
     def chat(self, messages, model=None) -> str:
         payload = json.dumps(
@@ -124,16 +128,20 @@ class OpenAIAI(AIProvider):
         ).encode()
         resp = self._chat.post_json("/v1/chat/completions", payload, stream=True)
         if resp.status_code != 200:
+            resp.close()
             raise AIError(f"openai ({resp.status_code})")
-        for obj in self._iter_sse(resp):
-            for choice in sorted(
-                obj.get("choices", []), key=lambda c: c.get("index", 0)
-            ):
-                delta = choice.get("delta", {}).get("content", "")
-                if delta:
-                    yield delta
-                if choice.get("finish_reason"):
-                    return
+        try:
+            for obj in self._iter_sse(resp):
+                for choice in sorted(
+                    obj.get("choices", []), key=lambda c: c.get("index", 0)
+                ):
+                    delta = choice.get("delta", {}).get("content", "")
+                    if delta:
+                        yield delta
+                    if choice.get("finish_reason"):
+                        return
+        finally:
+            resp.close()  # releases the least-connections slot
 
     def embed_ctx_num(self):
         return self.cfg.embed.num_ctx if self._embed else super().embed_ctx_num()
