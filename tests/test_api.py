@@ -233,3 +233,40 @@ def test_static_pages(engine):
             assert r.status == 200, path
 
     run(engine, flow)
+
+
+def test_search_via_get(engine):
+    async def flow(client):
+        # reference allows GET on /api/search (server/search.go:52)
+        r = await client.request(
+            "GET",
+            "/api/search",
+            json={"owner": "a", "category": "c", "text": "x"},
+        )
+        assert r.status == 200
+        assert (await r.json()) == {"documents": []}
+
+    run(engine, flow)
+
+
+def test_delete_rejects_get(engine):
+    async def flow(client):
+        r = await client.get("/api/delete/owner")
+        assert r.status == 405
+
+    run(engine, flow)
+
+
+def test_chat_with_inline_documents(engine):
+    async def flow(client):
+        r = await client.post(
+            "/api/chat",
+            json={"text": "q", "documents": [{"inline": "doc"}]},
+        )
+        assert r.status == 200
+        assert (await r.text()) == "chat reply"
+        # engine received the flattened inline doc in the prompt
+        final = engine.ai.chat_calls[-1][-1]["content"]
+        assert "inline: doc." in final
+
+    run(engine, flow)
