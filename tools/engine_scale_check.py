@@ -1,0 +1,169 @@
+"""BASELINE config-5 validation: the FULL engine at corpus scale with
+streaming inserts and no rebuild.
+
+Populates SQL directly with wire-format rows (as if uploaded previously),
+boots the engine (SQL -> pack -> HBM IVF), then measures:
+  - boot time (stream + pack + bucket build)
+  - streaming insert throughput through Engine.upload (append, no rebuild)
+  - search latency/recall sanity through Engine.search
+
+    python tools/engine_scale_check.py              # 2M x 768
+    VSTPU_SCALE_N=500000 python tools/engine_scale_check.py
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+N = int(os.environ.get("VSTPU_SCALE_N", 2_000_000))
+DIM = int(os.environ.get("VSTPU_SCALE_DIM", 768))
+K = max(1, N // 10_000)  # reference CENTROID_SIZE target
+
+
+def log(msg, *args):
+    print(msg % args if args else msg, file=sys.stderr, flush=True)
+
+
+class FixedDimAI:
+    """Embed provider returning pre-seeded clustered vectors (hermetic)."""
+
+    def __init__(self, centers):
+        self.centers = centers
+        self.rng = np.random.default_rng(1)
+
+    def can_embed(self):
+        return True
+
+    def embed(self, inputs, model=None):
+        from vectorsearch_tpu.quant import codec
+
+        out = []
+        for _ in inputs:
+            c = self.centers[self.rng.integers(0, len(self.centers))]
+            v = c * 2.0 + self.rng.standard_normal(DIM).astype(np.float32)
+            out.append(codec.quantize(v))
+        return out
+
+    def embed_model(self):
+        return "fixed"
+
+    def embed_ctx_num(self):
+        return 8192
+
+    def chat_model(self):
+        return "fixed"
+
+    def chat_stream(self, messages, model=None):
+        yield ""
+
+    def generate(self, p, model=None):
+        return ""
+
+    def generate_stream(self, p, model=None):
+        yield ""
+
+    def chat(self, m, model=None):
+        return ""
+
+
+def main():
+    import json
+
+    from vectorsearch_tpu.engine import Engine
+    from vectorsearch_tpu.quant import codec
+    from vectorsearch_tpu.store import Store
+
+    rng = np.random.default_rng(0)
+    centers = rng.standard_normal((K, DIM), dtype=np.float32)
+
+    db_path = "/tmp/vstpu_scale.db"
+    for suffix in ("", "-wal", "-shm"):
+        if os.path.exists(db_path + suffix):
+            os.unlink(db_path + suffix)
+    store = Store(db_path)
+
+    # --- populate SQL with N wire rows (simulating past uploads) ---
+    t0 = time.perf_counter()
+    owner = store.get_or_create_owner("scale")
+    cat = store.get_or_create_category(owner.id, "corpus")
+    # centroids from the generator (as a prior rebuild would have left)
+    cent_ids = store.replace_centroids(
+        cat.id, [codec.quantize(c).tobytes() for c in centers], {}
+    )
+    chunk = 100_000
+    with store._lock, store._conn:
+        cur = store._conn.cursor()
+        now = time.time()
+        doc_rows = []
+        for start in range(0, N, chunk):
+            m = min(chunk, N - start)
+            block = centers[rng.integers(0, K, size=m)] * np.float32(2.0)
+            block += rng.standard_normal((m, DIM), dtype=np.float32)
+            wires = codec.quantize(block)
+            assign = rng.integers(0, K, size=m)  # roughly right; boot reassigns
+            from vectorsearch_tpu.store.db import compress as _c
+
+            empty_doc = _c(b"{}")
+            cur.executemany(
+                "INSERT INTO documents(name, external_id, last_updated, document, category_id) "
+                "VALUES ('', '', ?, ?, ?)",
+                [(now, empty_doc, cat.id)] * m,
+            )
+            first_doc = cur.execute("SELECT MAX(id) FROM documents").fetchone()[0] - m + 1
+            cur.executemany(
+                "INSERT INTO embeddings(vector, document_id, centroid_id) VALUES (?,?,?)",
+                [
+                    (wires[i].tobytes(), first_doc + i, cent_ids[assign[i]])
+                    for i in range(m)
+                ],
+            )
+            log("populated %d/%d", start + m, N)
+    log("scale-check: populated %d rows in %.1fs", N, time.perf_counter() - t0)
+
+    # --- engine boot (SQL stream -> pack -> HBM buckets) ---
+    t0 = time.perf_counter()
+    eng = Engine(store, FixedDimAI(centers), snapshot_dir=None)
+    boot_s = time.perf_counter() - t0
+    log("scale-check: engine boot (pack %d rows) in %.1fs", N, boot_s)
+
+    # --- streaming inserts, no rebuild ---
+    t0 = time.perf_counter()
+    n_docs = 0
+    for _ in range(10):
+        eng.upload(
+            "scale",
+            "corpus",
+            [{"name": f"live-{i}", "document": {"t": f"doc {i}"}} for i in range(100)],
+        )
+        n_docs += 100
+    insert_s = time.perf_counter() - t0
+    log(
+        "scale-check: %d streaming docs in %.1fs (%.0f docs/s), spill=%d",
+        n_docs, insert_s, n_docs / insert_s,
+        eng.stats()["categories"][cat.id]["spill"],
+    )
+
+    # --- search sanity ---
+    t0 = time.perf_counter()
+    for _ in range(20):
+        hits = eng.search("scale", "corpus", "anything", count=10, centroids=8)
+    search_s = (time.perf_counter() - t0) / 20
+    log("scale-check: search latency %.1fms (tunnel incl.), hits=%d",
+        search_s * 1e3, len(hits))
+
+    print(json.dumps({
+        "n": N, "boot_s": round(boot_s, 1),
+        "insert_docs_per_s": round(n_docs / insert_s, 1),
+        "search_ms": round(search_s * 1e3, 1),
+    }))
+    eng.close()
+    store.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -141,22 +141,26 @@ class Engine:
             state.ivf = restored
             return state
 
-        # stream wire rows out of SQL and pack (boot fallback)
-        wires, ids = [], []
-        for batch in self.store.iter_embeddings(
-            category_id, batch=constants.BATCH_SIZE_DATABASE
-        ):
-            for emb_id, vec, _doc_id in batch:
-                wires.append(np.frombuffer(vec, np.uint8))
-                ids.append(emb_id)
-        if not wires:
+        # Stream wire rows out of SQL and pack (boot fallback). Large read
+        # batches + one bytes-join per batch: at millions of rows a
+        # per-row np.stack is a Python-loop bottleneck.
+        blobs: list[bytes] = []
+        ids: list[int] = []
+        row_len = None
+        for batch in self.store.iter_embeddings(category_id, batch=50_000):
+            blobs.append(b"".join(vec for _eid, vec, _doc in batch))
+            ids.extend(eid for eid, _vec, _doc in batch)
+            if row_len is None and batch:
+                row_len = len(batch[0][1])
+        if not ids:
             state.ivf = IVFIndex.build(
                 layout.empty(centroids.shape[1]),
                 np.zeros((0,), np.int64),
                 centroids,
             )
             return state
-        packed = layout.pack_wire(np.stack(wires))
+        wire = np.frombuffer(b"".join(blobs), np.uint8).reshape(len(ids), row_len)
+        packed = layout.pack_wire(wire)
         state.ivf = IVFIndex.build(packed, np.asarray(ids, np.int64), centroids)
         return state
 
