@@ -82,48 +82,54 @@ def main():
     centers = rng.standard_normal((K, DIM), dtype=np.float32)
 
     db_path = "/tmp/vstpu_scale.db"
-    for suffix in ("", "-wal", "-shm"):
-        if os.path.exists(db_path + suffix):
-            os.unlink(db_path + suffix)
+    reuse = os.environ.get("VSTPU_SCALE_REUSE") == "1" and os.path.exists(db_path)
+    if not reuse:
+        for suffix in ("", "-wal", "-shm"):
+            if os.path.exists(db_path + suffix):
+                os.unlink(db_path + suffix)
     store = Store(db_path)
+    if reuse:
+        log("scale-check: reusing existing %s", db_path)
 
     # --- populate SQL with N wire rows (simulating past uploads) ---
     t0 = time.perf_counter()
     owner = store.get_or_create_owner("scale")
     cat = store.get_or_create_category(owner.id, "corpus")
-    # centroids from the generator (as a prior rebuild would have left)
-    cent_ids = store.replace_centroids(
-        cat.id, [codec.quantize(c).tobytes() for c in centers], {}
-    )
-    chunk = 100_000
-    with store._lock, store._conn:
-        cur = store._conn.cursor()
-        now = time.time()
-        doc_rows = []
-        for start in range(0, N, chunk):
-            m = min(chunk, N - start)
-            block = centers[rng.integers(0, K, size=m)] * np.float32(2.0)
-            block += rng.standard_normal((m, DIM), dtype=np.float32)
-            wires = codec.quantize(block)
-            assign = rng.integers(0, K, size=m)  # roughly right; boot reassigns
-            from vectorsearch_tpu.store.db import compress as _c
+    if not reuse:
+        # centroids from the generator (as a prior rebuild would have left)
+        cent_ids = store.replace_centroids(
+            cat.id, [codec.quantize(c).tobytes() for c in centers], {}
+        )
+        from vectorsearch_tpu.store.db import compress as _c
 
-            empty_doc = _c(b"{}")
-            cur.executemany(
-                "INSERT INTO documents(name, external_id, last_updated, document, category_id) "
-                "VALUES ('', '', ?, ?, ?)",
-                [(now, empty_doc, cat.id)] * m,
-            )
-            first_doc = cur.execute("SELECT MAX(id) FROM documents").fetchone()[0] - m + 1
-            cur.executemany(
-                "INSERT INTO embeddings(vector, document_id, centroid_id) VALUES (?,?,?)",
-                [
-                    (wires[i].tobytes(), first_doc + i, cent_ids[assign[i]])
-                    for i in range(m)
-                ],
-            )
-            log("populated %d/%d", start + m, N)
-    log("scale-check: populated %d rows in %.1fs", N, time.perf_counter() - t0)
+        empty_doc = _c(b"{}")
+        chunk = 100_000
+        with store._lock, store._conn:
+            cur = store._conn.cursor()
+            now = time.time()
+            for start in range(0, N, chunk):
+                m = min(chunk, N - start)
+                block = centers[rng.integers(0, K, size=m)] * np.float32(2.0)
+                block += rng.standard_normal((m, DIM), dtype=np.float32)
+                wires = codec.quantize(block)
+                assign = rng.integers(0, K, size=m)  # approximate; boot packs by it
+                cur.executemany(
+                    "INSERT INTO documents(name, external_id, last_updated, document, category_id) "
+                    "VALUES ('', '', ?, ?, ?)",
+                    [(now, empty_doc, cat.id)] * m,
+                )
+                first_doc = (
+                    cur.execute("SELECT MAX(id) FROM documents").fetchone()[0] - m + 1
+                )
+                cur.executemany(
+                    "INSERT INTO embeddings(vector, document_id, centroid_id) VALUES (?,?,?)",
+                    [
+                        (wires[i].tobytes(), first_doc + i, cent_ids[assign[i]])
+                        for i in range(m)
+                    ],
+                )
+                log("populated %d/%d", start + m, N)
+        log("scale-check: populated %d rows in %.1fs", N, time.perf_counter() - t0)
 
     # --- engine boot (SQL stream -> pack -> HBM buckets) ---
     t0 = time.perf_counter()
