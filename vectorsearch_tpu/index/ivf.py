@@ -165,6 +165,9 @@ class IVFIndex:
     counts_dev: jax.Array  # device int32 [K]
     ids: np.ndarray  # host int64 [K, cap]
     spill: FlatIndex
+    # host-tracked count of live bucket rows: n_live must not cost a
+    # device mask transfer on the upload hot path
+    live_count: int = 0
 
     @property
     def k_clusters(self) -> int:
@@ -180,7 +183,7 @@ class IVFIndex:
 
     @property
     def n_live(self) -> int:
-        return int(np.asarray(self.bucket_mask).sum()) + self.spill.live
+        return self.live_count + self.spill.live
 
     # ---- construction ----
 
@@ -244,6 +247,7 @@ class IVFIndex:
             counts_dev=jnp.asarray(counts),
             ids=id_grid,
             spill=FlatIndex.create(d),
+            live_count=n,
         )
 
     # ---- queries ----
@@ -388,6 +392,7 @@ class IVFIndex:
                 counts=new_counts,
                 counts_dev=jnp.asarray(new_counts),
                 ids=id_grid,
+                live_count=self.live_count + len(sel),
             )
 
         if (~fits).any():
@@ -408,7 +413,11 @@ class IVFIndex:
         if hit.any():
             mask = np.array(self.bucket_mask)
             mask[hit] = False
-            idx = replace(idx, bucket_mask=jnp.asarray(mask))
+            idx = replace(
+                idx,
+                bucket_mask=jnp.asarray(mask),
+                live_count=self.live_count - int(hit.sum()),
+            )
         spill = idx.spill.remove_ids(remove)
         if spill is not idx.spill:
             idx = replace(idx, spill=spill)
