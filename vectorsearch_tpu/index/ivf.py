@@ -133,6 +133,33 @@ def _scatter_rows(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("nprobe", "k_coarse", "k", "use_pallas"))
+def _scan_refined(
+    queries, centroids_n, buckets, counts, bucket_mask, nprobe, k_coarse, k,
+    use_pallas,
+):
+    """Coarse scan + exact-f32 refine fused into ONE jitted program: the
+    bucket flat view is reshaped inside jit (views, not eager dispatches —
+    each eager op costs a full round trip through the remote-TPU tunnel;
+    measured 123ms -> 15ms per 2M-corpus query)."""
+    if use_pallas:
+        from ..kernels.pallas_scan import ivf_scan_pallas as scan_fn
+    else:
+        scan_fn = _ivf_scan
+    scores, gslot = scan_fn(
+        queries, centroids_n, buckets, counts, bucket_mask,
+        nprobe=nprobe, k=k_coarse,
+    )
+    d = buckets.codes.shape[-1]
+    flat_view = PackedVectors(
+        codes=buckets.codes.reshape(-1, d),
+        scale=buckets.scale.reshape(-1),
+        offset=buckets.offset.reshape(-1),
+        inv_norm=buckets.inv_norm.reshape(-1),
+    )
+    return cosine.rescore_topk(queries, flat_view, scores, gslot, k)
+
+
 def _scan_impl():
     """Pick the bucket-scan kernel: the fused Pallas path on TPU (no
     materialized gather — kernels/pallas_scan.py), the XLA gather path
@@ -262,48 +289,35 @@ class IVFIndex:
             nprobe = self.k_clusters
         nprobe = max(1, min(nprobe, self.k_clusters))
         k_coarse = max(k, refine) if refine else k
-        scan = _scan_impl()
+        use_pallas = _scan_impl() is not _ivf_scan
         # The Pallas path's [B, nprobe, cap, 1] score buffer pads its
         # trailing dim to the 128-lane tile at rest; bound the padded
         # footprint (~512 MB) by slicing large query batches.
         bytes_per_q = nprobe * self.cap * 4 * 128
         b_max = max(1, (512 << 20) // max(1, bytes_per_q))
+
+        def one(qs):
+            if refine:
+                # single fused program: scan + exact-f32 re-rank
+                return _scan_refined(
+                    qs, self.centroids_n, self.buckets, self.counts_dev,
+                    self.bucket_mask, nprobe=nprobe, k_coarse=k_coarse, k=k,
+                    use_pallas=use_pallas,
+                )
+            return _scan_impl()(
+                qs, self.centroids_n, self.buckets, self.counts_dev,
+                self.bucket_mask, nprobe=nprobe, k=k_coarse,
+            )
+
         if queries.shape[0] > b_max:
             parts = [
-                scan(
-                    queries[i : i + b_max],
-                    self.centroids_n,
-                    self.buckets,
-                    self.counts_dev,
-                    self.bucket_mask,
-                    nprobe=nprobe,
-                    k=k_coarse,
-                )
+                one(queries[i : i + b_max])
                 for i in range(0, queries.shape[0], b_max)
             ]
             scores = jnp.concatenate([p[0] for p in parts], axis=0)
             gslot = jnp.concatenate([p[1] for p in parts], axis=0)
         else:
-            scores, gslot = scan(
-                queries,
-                self.centroids_n,
-                self.buckets,
-                self.counts_dev,
-                self.bucket_mask,
-                nprobe=nprobe,
-                k=k_coarse,
-            )
-        if refine:
-            # exact f32 re-rank against the bucket store viewed flat
-            flat_view = PackedVectors(
-                codes=self.buckets.codes.reshape(-1, self.dim),
-                scale=self.buckets.scale.reshape(-1),
-                offset=self.buckets.offset.reshape(-1),
-                inv_norm=self.buckets.inv_norm.reshape(-1),
-            )
-            scores, gslot = cosine.rescore_topk(
-                queries, flat_view, scores, gslot, k
-            )
+            scores, gslot = one(queries)
         scores, gslot = jax.device_get((scores, gslot))  # one transfer
         flat_ids = self.ids.reshape(-1)
         safe = np.clip(gslot, 0, flat_ids.size - 1)
