@@ -33,6 +33,19 @@ def log(msg, *args):
     print(msg % args if args else msg, file=sys.stderr, flush=True)
 
 
+def _enable_compile_cache():
+    """Persistent XLA compile cache: remote-TPU compiles cost 30-120s each
+    through this environment's tunnel; caching them across processes makes
+    repeat runs start in seconds. Must run before the first device use."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.cache/jax")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
+
+_enable_compile_cache()
+
+
 def make_corpus(n, dim, k, seed=0):
     """Clustered synthetic corpus (vectorpedia-style locality)."""
     rng = np.random.default_rng(seed)

@@ -17,6 +17,16 @@ import threading
 
 from aiohttp import web
 
+# Persistent XLA compile cache (huge win through the remote-TPU tunnel;
+# harmless elsewhere). Must be set before the first device use.
+try:
+    import jax as _jax
+
+    _jax.config.update("jax_compilation_cache_dir", "/root/repo/.cache/jax")
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+except Exception:
+    pass
+
 from vectorsearch_tpu import config as config_mod
 from vectorsearch_tpu.api import TLSManager, build_app
 from vectorsearch_tpu.embed import AI
