@@ -40,11 +40,14 @@ MAX_RESULTS = 20  # reference clamps count to [1, 20] (server/search.go:116)
 
 def _k_class(want: int) -> int:
     """Over-fetch size class for `want` unique documents: pow2 so jit
-    programs are reused across requests (k is a static shape parameter)."""
+    programs are reused across requests (k is a static shape parameter).
+    Capped at 4096 — multi-section documents dedup several embeddings into
+    one doc, so very deep offsets can exhaust the candidate set; search
+    logs when that happens."""
     k = 16
     while k < want * 4:
         k *= 2
-    return min(k, 1024)
+    return min(k, 4096)
 
 
 @dataclass
@@ -185,7 +188,10 @@ class Engine:
             )
             return None
         snap_cents = meta.get("centroid_db_ids")
-        if snap_cents is not None and snap_cents != [int(c) for c in centroid_db_ids]:
+        if snap_cents != [int(c) for c in centroid_db_ids]:
+            # missing key (old snapshot format) counts as stale too — a
+            # row-count match alone cannot prove the cluster order agrees
+            # with the DB centroid rows
             sugar().info(
                 "snapshot for category %d has a different centroid set, rebuilding",
                 category_id,
@@ -212,9 +218,13 @@ class Engine:
         packed, ids = ivf.export_live()
         assignments = None
         try:
-            assignments = ivf.assign(packed)
-        except Exception:
-            pass
+            from ..index.ivf import assign_clusters
+
+            # chunked on device: the unchunked path would materialize an
+            # [N, K] similarity matrix (OOM at millions of rows)
+            assignments = assign_clusters(packed, np.asarray(ivf.centroids))
+        except Exception as e:
+            sugar().warning("snapshot assignment pass failed: %s", e)
         arrays = {
             "codes": np.asarray(packed.codes),
             "scale": np.asarray(packed.scale),
@@ -311,27 +321,33 @@ class Engine:
             # 5. assign to nearest centroid (device)
             cids = state.ivf.assign(packed)
 
-            # 6. persist documents then embeddings (SQL)
+            # 6. persist documents + embeddings in ONE transaction (a
+            # failure must not leave orphaned, unsearchable document rows)
             doc_rows = [
                 (d.get("name", ""), d.get("external_id", ""), d.get("document"))
                 for d in documents
             ]
-            doc_ids = self.store.insert_documents(category.id, doc_rows)
-            emb_rows = []
-            per_emb_doc = []
+            embeddings_per_doc = []
             cursor = 0
-            for doc_id, n_sections in zip(doc_ids, sections_per_doc):
-                for _ in range(n_sections):
-                    emb_rows.append(
+            for n_sections in sections_per_doc:
+                embeddings_per_doc.append(
+                    [
                         (
-                            wire_mat[cursor].tobytes(),
-                            doc_id,
-                            state.centroid_db_ids[int(cids[cursor])],
+                            wire_mat[cursor + j].tobytes(),
+                            state.centroid_db_ids[int(cids[cursor + j])],
                         )
-                    )
-                    per_emb_doc.append(doc_id)
-                    cursor += 1
-            emb_ids = self.store.insert_embeddings(emb_rows)
+                        for j in range(n_sections)
+                    ]
+                )
+                cursor += n_sections
+            doc_ids, emb_ids = self.store.insert_documents_with_embeddings(
+                category.id, doc_rows, embeddings_per_doc
+            )
+            per_emb_doc = [
+                doc_id
+                for doc_id, n_sections in zip(doc_ids, sections_per_doc)
+                for _ in range(n_sections)
+            ]
 
             # 7. stream into the HBM index (append-without-rebuild)
             state.ivf = state.ivf.insert(
@@ -419,6 +435,15 @@ class Engine:
             hits.append((doc_id, float(score)))
             if len(hits) >= want:
                 break
+        if len(hits) < want and len(seen) and emb_ids.shape[-1] >= k:
+            # candidate set exhausted before the requested window was
+            # filled (deep offset + multi-section docs); callers see a
+            # short page — reference behaviour differs only in cost (it
+            # scans everything per request)
+            sugar().debug(
+                "%d search: candidate set exhausted (%d unique < %d wanted)",
+                txid, len(hits), want,
+            )
         hits = hits[offset : offset + count]
         if not hits:
             return []
@@ -578,8 +603,16 @@ class Engine:
             cent_db = [r.id for r in self.store.centroids(cid)]
             n_local = st.ivf.n_live if st.ivf else 0
             if n_db != n_local or cent_db != st.centroid_db_ids:
+                before = st.ivf
                 fresh = self._load_category(cid)
                 with st.lock:
+                    if st.ivf is not before:
+                        # a local mutation landed while we were loading;
+                        # swapping would drop it — retry on the next sync
+                        sugar().info(
+                            "category %d mutated during sync, skipping swap", cid
+                        )
+                        continue
                     st.ivf = fresh.ivf
                     st.centroid_db_ids = fresh.centroid_db_ids
                     st.doc_map = fresh.doc_map
@@ -742,10 +775,7 @@ class Engine:
                 dummy[0, 0] = 1.0
                 k = _k_class(10)
                 target = state.sharded or new_ivf
-                if target is new_ivf:
-                    target.search(dummy, k=k, nprobe=1, refine=k)
-                else:
-                    target.search(dummy, k=k, nprobe=1)
+                target.search(dummy, k=k, nprobe=1, refine=k)
             except Exception:
                 pass
             return True

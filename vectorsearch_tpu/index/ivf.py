@@ -421,11 +421,11 @@ class IVFIndex:
         remove = np.asarray(remove, np.int64)
         if remove.size == 0:
             return self
-        live = np.asarray(self.bucket_mask)
+        live = np.asarray(self.bucket_mask)  # one device transfer
         hit = np.isin(self.ids, remove) & live
         idx = self
         if hit.any():
-            mask = np.array(self.bucket_mask)
+            mask = live.copy()
             mask[hit] = False
             idx = replace(
                 idx,

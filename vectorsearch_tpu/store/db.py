@@ -254,8 +254,16 @@ class Store:
                 "UPDATE embeddings SET centroid_id=? WHERE id=?",
                 [(new_ids[c], eid) for eid, c in reassign.items()],
             )
+            # Delete only old centroids with NO remaining members: an
+            # embedding inserted by ANOTHER instance during this build still
+            # references its old centroid and must not be cascade-deleted;
+            # its orphaned centroid survives until a later rebuild/sync
+            # covers it (the reference likewise never force-deletes in-use
+            # centroids).
             cur.execute(
-                "DELETE FROM centroids WHERE category_id=? AND id NOT IN (%s)"
+                "DELETE FROM centroids WHERE category_id=? AND id NOT IN (%s) "
+                "AND NOT EXISTS (SELECT 1 FROM embeddings "
+                "WHERE embeddings.centroid_id = centroids.id)"
                 % ",".join("?" * len(new_ids)),
                 (category_id, *new_ids),
             )
@@ -308,6 +316,40 @@ class Store:
             )
 
     # ---- embeddings ----
+
+    def insert_documents_with_embeddings(
+        self,
+        category_id: int,
+        docs: list[tuple[str, str, Any]],
+        embeddings_per_doc: list[list[tuple[bytes, int]]],
+    ) -> tuple[list[int], list[int]]:
+        """Insert documents AND their embeddings in ONE transaction so a
+        failure cannot leave orphaned (unsearchable) document rows.
+        embeddings_per_doc[i] = [(vector_wire, centroid_id), ...] for doc i.
+        Returns (document_ids, embedding_ids in document order)."""
+        now = time.time()
+        with self._lock, self._conn:
+            cur = self._conn.cursor()
+            doc_ids: list[int] = []
+            emb_ids: list[int] = []
+            for (name, ext, value), embs in zip(docs, embeddings_per_doc):
+                blob = compress(json.dumps(value).encode("utf-8"))
+                cur.execute(
+                    "INSERT INTO documents"
+                    "(name, external_id, last_updated, document, category_id) "
+                    "VALUES (?,?,?,?,?)",
+                    (name, ext, now, blob, category_id),
+                )
+                doc_id = cur.lastrowid
+                doc_ids.append(doc_id)
+                for vector, cent_id in embs:
+                    cur.execute(
+                        "INSERT INTO embeddings(vector, document_id, centroid_id) "
+                        "VALUES (?,?,?)",
+                        (vector, doc_id, cent_id),
+                    )
+                    emb_ids.append(cur.lastrowid)
+        return doc_ids, emb_ids
 
     def insert_embeddings(
         self, rows: list[tuple[bytes, int, int]]  # (vector, document_id, centroid_id)
