@@ -237,3 +237,53 @@ def test_delete_during_rebuild_stays_deleted(monkeypatch):
     assert store.count_embeddings(cat.id) == 29
     eng.close()
     store.close()
+
+
+def test_cross_instance_upload_during_rebuild(monkeypatch, tmp_path):
+    """Instance B uploads to the shared store while instance A's rebuild
+    is running: B's embeddings must survive A's centroid swap (the NOT-IN
+    delete must never cascade rows whose centroid is still referenced)."""
+    from vectorsearch_tpu.engine import engine as engine_mod
+
+    db = str(tmp_path / "shared.sqlite")
+    store_a, store_b = Store(db), Store(db)
+    a = Engine(store_a, WordHashAI(), cache=EngineCache(ttl=0.0))
+    b = Engine(store_b, WordHashAI(), cache=EngineCache(ttl=0.0))
+    a.upload(
+        "alice", "docs",
+        [{"name": f"d{i}", "document": {"text": f"w{i % 3} base {i}"}} for i in range(30)],
+    )
+    cat = store_a.get_category(store_a.get_owner("alice").id, "docs")
+    b.sync_with_store()
+
+    build_started = threading.Event()
+    upload_done = threading.Event()
+    real_build = engine_mod.build_centroids
+
+    def slow_build(*args, **kw):
+        build_started.set()
+        assert upload_done.wait(30)
+        return real_build(*args, **kw)
+
+    monkeypatch.setattr(engine_mod, "build_centroids", slow_build)
+    t = threading.Thread(
+        target=lambda: a.refresh_category(cat.id, target_cluster_size=10, chunk=64)
+    )
+    t.start()
+    assert build_started.wait(30)
+    # B writes through the shared store mid-build (A cannot see these rows)
+    mid = b.upload(
+        "alice", "docs", [{"name": "bmid", "document": {"text": "remote zebra row"}}]
+    )
+    upload_done.set()
+    t.join(timeout=60)
+
+    # B's embedding rows survived A's centroid swap in SQL
+    assert store_a.embeddings_for_documents(mid) != []
+    assert store_a.count_embeddings(cat.id) == 31
+    # and a fresh boot (or sync) can still serve them
+    a.sync_with_store()
+    hits = a.search("alice", "docs", "remote zebra row", count=1, centroids=-1)
+    assert hits and hits[0].document_id == mid[0]
+    for e, s in ((a, store_a), (b, store_b)):
+        e.close(); s.close()
