@@ -123,12 +123,16 @@ class Engine:
             self._states[cat.id] = self._load_category(cat.id)
 
     def _load_category(self, category_id: int) -> CategoryState:
+        import time as _time
+
+        t0 = _time.perf_counter()
         state = CategoryState(category_id=category_id)
         cent_rows = self.store.centroids(category_id)
         if not cent_rows:
             return state
         state.centroid_db_ids = [r.id for r in cent_rows]
         state.doc_map = self.store.embedding_doc_map(category_id)
+        t_meta = _time.perf_counter()
 
         centroids = np.stack(
             [
@@ -162,9 +166,16 @@ class Engine:
                 centroids,
             )
             return state
+        t_stream = _time.perf_counter()
         wire = np.frombuffer(b"".join(blobs), np.uint8).reshape(len(ids), row_len)
         packed = layout.pack_wire(wire)
+        t_pack = _time.perf_counter()
         state.ivf = IVFIndex.build(packed, np.asarray(ids, np.int64), centroids)
+        sugar().info(
+            "category %d boot: %d rows (meta %.1fs, sql %.1fs, pack %.1fs, index %.1fs)",
+            category_id, len(ids), t_meta - t0, t_stream - t_meta,
+            t_pack - t_stream, _time.perf_counter() - t_pack,
+        )
         return state
 
     # -------------------------------------------------------------- snapshots
