@@ -112,12 +112,14 @@ def main():
     truth = np.empty((N_QUERIES, TOPK), np.int64)
     qn = queries / np.linalg.norm(queries, axis=-1, keepdims=True)
     chunkq = 64
-    # ground truth over what the index stores (dequantized corpus), via the
-    # int-free scan oracle; corpus passed as an ARG (a closure constant
-    # would be baked into the HLO and blow up remote compilation)
-    deq = layout.unpack(packed)
-    corpus_dev = jnp.asarray(deq / np.linalg.norm(deq, axis=-1, keepdims=True))
-    del deq
+    # Ground truth over the ORIGINAL float32 corpus (BASELINE config 2:
+    # "recall@10 vs float32 baseline") — this charges the quantized
+    # pipeline for corpus quantization error exactly like the reference's
+    # uint8 pipeline would be charged. Corpus passed as an ARG (a closure
+    # constant would be baked into the HLO and blow up remote compilation).
+    corpus_dev = jnp.asarray(
+        data / np.linalg.norm(data, axis=-1, keepdims=True)
+    )
 
     @jax.jit
     def exact_topk(q, corpus):
