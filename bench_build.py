@@ -26,22 +26,14 @@ def log(msg, *args):
     print(msg % args if args else msg, file=sys.stderr, flush=True)
 
 
-def _enable_compile_cache():
-    """Persistent XLA compile cache: remote-TPU compiles cost 30-120s each
-    through this environment's tunnel; caching them across processes makes
-    repeat runs start in seconds. Must run before the first device use."""
-    import jax
+from vectorsearch_tpu.utils import enable_compile_cache
 
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.cache/jax")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
-
-
-_enable_compile_cache()
+enable_compile_cache()
 
 
 def main():
     from vectorsearch_tpu.build import build_centroids
-    from vectorsearch_tpu.quant import codec, layout
+    from vectorsearch_tpu.quant import layout
     from vectorsearch_tpu.quant.layout import PackedVectors
 
     rng = np.random.default_rng(0)
@@ -49,19 +41,22 @@ def main():
 
     t0 = time.perf_counter()
     chunk_rows = 500_000
-    parts = []
+    # preallocate: a parts list + concatenate would double peak host RSS
+    packed = PackedVectors(
+        codes=np.empty((N, DIM), np.int8),
+        scale=np.empty(N, np.float32),
+        offset=np.empty(N, np.float32),
+        inv_norm=np.empty(N, np.float32),
+    )
     for start in range(0, N, chunk_rows):
         m = min(chunk_rows, N - start)
         block = centers[rng.integers(0, K, size=m)] * np.float32(2.0)
         block += rng.standard_normal((m, DIM), dtype=np.float32)
-        parts.append(layout.pack_float(block))
-    packed = PackedVectors(
-        codes=np.concatenate([p.codes for p in parts]),
-        scale=np.concatenate([p.scale for p in parts]),
-        offset=np.concatenate([p.offset for p in parts]),
-        inv_norm=np.concatenate([p.inv_norm for p in parts]),
-    )
-    del parts
+        part = layout.pack_float(block)
+        packed.codes[start : start + m] = part.codes
+        packed.scale[start : start + m] = part.scale
+        packed.offset[start : start + m] = part.offset
+        packed.inv_norm[start : start + m] = part.inv_norm
     log("build-bench: generated+packed %dx%d in %.1fs", N, DIM, time.perf_counter() - t0)
 
     t0 = time.perf_counter()

@@ -20,10 +20,9 @@ from aiohttp import web
 # Persistent XLA compile cache (huge win through the remote-TPU tunnel;
 # harmless elsewhere). Must be set before the first device use.
 try:
-    import jax as _jax
+    from vectorsearch_tpu.utils import enable_compile_cache
 
-    _jax.config.update("jax_compilation_cache_dir", "/root/repo/.cache/jax")
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    enable_compile_cache()
 except Exception:
     pass
 
@@ -74,7 +73,13 @@ def preftest():
 
 
 def _addr(spec: str) -> tuple[str | None, int]:
-    host, _, port = spec.rpartition(":")
+    """Parse ':7500', 'host:7500', or '[::1]:7500' address specs."""
+    host, sep, port = spec.rpartition(":")
+    if not sep or not port.isdigit():
+        raise ValueError(
+            f"invalid listen address {spec!r}: expected [host]:port"
+        )
+    host = host.strip("[]")  # bracketed IPv6
     return (host or None), int(port)
 
 
@@ -100,6 +105,7 @@ async def serve(cfg: config_mod.Config, engine: Engine):
             )
         except Exception as e:
             sugar().error("HTTPS disabled: %s", e)
+            tls = None
 
     for site in sites:
         await site.start()

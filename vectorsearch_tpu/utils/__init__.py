@@ -1,3 +1,13 @@
-from .profiling import device_memory_stats, device_trace, timed
+from .profiling import (
+    device_memory_stats,
+    device_trace,
+    enable_compile_cache,
+    timed,
+)
 
-__all__ = ["device_memory_stats", "device_trace", "timed"]
+__all__ = [
+    "device_memory_stats",
+    "device_trace",
+    "enable_compile_cache",
+    "timed",
+]

@@ -13,6 +13,23 @@ import time
 from ..logger import sugar
 
 
+def enable_compile_cache() -> None:
+    """Persistent XLA compile cache rooted at the repo's .cache/jax (path
+    derived from this file, not hardcoded). Remote-TPU compiles cost
+    30-120s each through this environment's tunnel; caching them across
+    processes makes repeat runs start in seconds. Call before the first
+    device use."""
+    import os
+
+    import jax
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
+    jax.config.update(
+        "jax_compilation_cache_dir", os.path.join(repo_root, ".cache", "jax")
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
+
 @contextlib.contextmanager
 def device_trace(log_dir: str):
     """Capture a jax.profiler trace (TPU timeline, HLO, memory) to log_dir."""
