@@ -349,6 +349,15 @@ def test_multi_instance_sync(tmp_path):
     # no-op when nothing changed
     assert b.sync_with_store() == []
 
+    # delete+upload pair on A leaves COUNT(*) AND the centroid-id list
+    # unchanged — only MAX(embeddings.id) moves; B must still detect it
+    # (ADVICE r1: count-only signal left remote docs unsearchable)
+    a.delete_document("alice", "docs", ids[0])
+    a.upload("alice", "docs", [{"name": "mango", "document": {"text": "mango tree"}}])
+    assert b.sync_with_store()
+    hits = b.search("alice", "docs", "mango tree", count=1, centroids=-1)
+    assert hits and hits[0].name == "mango"
+
     # remote delete propagates
     a.delete_owner("alice")
     assert b.sync_with_store()
@@ -385,5 +394,50 @@ def test_snapshot_stale_on_centroid_change(tmp_path):
     assert st.ivf.k_clusters >= 2
     hits = eng2.search("alice", "docs", "w2 common", count=3, centroids=-1)
     assert hits
+    eng2.close()
+    store.close()
+
+
+def test_snapshot_stale_on_equal_count_churn(tmp_path):
+    """Equal-count churn while the process is down (delete one doc, upload
+    another) must invalidate the snapshot via the max-id meta (ADVICE r1:
+    the count-only heuristic restored a stale index)."""
+    db = str(tmp_path / "db.sqlite")
+    snaps = str(tmp_path / "snaps")
+    store = Store(db)
+    eng = Engine(store, WordHashAI(), snapshot_dir=snaps)
+    ids = eng.upload("alice", "docs", FRUIT_DOCS)
+    eng.close()  # snapshot: len(FRUIT_DOCS) rows
+
+    # churn through a snapshot-less engine: same count, different rows
+    eng_b = Engine(store, WordHashAI(), snapshot_dir=None)
+    eng_b.delete_document("alice", "docs", ids[0])
+    eng_b.upload("alice", "docs", [{"name": "mango", "document": {"text": "mango tree"}}])
+    eng_b.close()
+
+    eng2 = Engine(store, WordHashAI(), snapshot_dir=snaps)
+    hits = eng2.search("alice", "docs", "mango tree", count=1, centroids=-1)
+    assert hits and hits[0].name == "mango"
+    eng2.close()
+    store.close()
+
+
+def test_snapshot_corrupt_file_falls_back(tmp_path):
+    """A corrupt npz (torn write, bad zip) must fall back to the SQL boot
+    path instead of crashing (ADVICE r1: BadZipFile escaped load())."""
+    import glob
+
+    db = str(tmp_path / "db.sqlite")
+    snaps = str(tmp_path / "snaps")
+    store = Store(db)
+    eng = Engine(store, WordHashAI(), snapshot_dir=snaps)
+    ids = eng.upload("alice", "docs", FRUIT_DOCS)
+    eng.close()
+    for path in glob.glob(str(tmp_path / "snaps" / "*" / "snap-*.npz")):
+        with open(path, "wb") as f:
+            f.write(b"not a zip at all")
+    eng2 = Engine(store, WordHashAI(), snapshot_dir=snaps)
+    hits = eng2.search("alice", "docs", "banana tropical", count=1, centroids=-1)
+    assert hits and hits[0].document_id == ids[1]
     eng2.close()
     store.close()

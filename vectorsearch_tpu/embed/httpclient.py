@@ -122,5 +122,9 @@ class ProviderClient:
     def read_body(resp) -> bytes:
         body = resp.content
         if resp.headers.get("Content-Encoding", "").strip().lower() == "zstd":
-            body = decompress(body)
+            # urllib3 builds with zstd support auto-decode the body before
+            # we see it; only decompress when the zstd frame magic is still
+            # present, so we never double-decompress
+            if body[:4] == b"\x28\xb5\x2f\xfd":
+                body = decompress(body)
         return body

@@ -190,12 +190,18 @@ class Engine:
             return None
         meta, arrays = loaded
         n_db = self.store.count_embeddings(category_id)
-        if meta.get("n") != n_db:
+        max_db = self.store.max_embedding_id(category_id)
+        # max_id catches equal-count churn while the process was down
+        # (delete+upload keeps the count but raises MAX(id)); snapshots
+        # without the key (old format) count as stale
+        if meta.get("n") != n_db or meta.get("max_id") != max_db:
             sugar().info(
-                "snapshot for category %d stale (%s vs %d rows), rebuilding",
+                "snapshot for category %d stale (%s/%s vs %d/%d rows/max-id), rebuilding",
                 category_id,
                 meta.get("n"),
+                meta.get("max_id"),
                 n_db,
+                max_db,
             )
             return None
         snap_cents = meta.get("centroid_db_ids")
@@ -252,8 +258,13 @@ class Engine:
             scope,
             arrays,
             # centroid_db_ids lets restore detect a rebuild that changed the
-            # centroid set without changing the row count
-            {"n": len(ids), "centroid_db_ids": [int(c) for c in centroid_db_ids]},
+            # centroid set without changing the row count; max_id catches
+            # equal-count churn (AUTOINCREMENT ids are monotonic)
+            {
+                "n": len(ids),
+                "max_id": int(np.asarray(ids).max()) if len(ids) else 0,
+                "centroid_db_ids": [int(c) for c in centroid_db_ids],
+            },
         )
         snapshots.prune(self.snapshot_dir, scope, keep=2)
 
@@ -611,9 +622,19 @@ class Engine:
             if st is None:
                 continue
             n_db = self.store.count_embeddings(cid)
+            max_db = self.store.max_embedding_id(cid)
             cent_db = [r.id for r in self.store.centroids(cid)]
             n_local = st.ivf.n_live if st.ivf else 0
-            if n_db != n_local or cent_db != st.centroid_db_ids:
+            # (count, max_id) together are collision-proof: a remote
+            # delete+upload pair keeps the count but raises MAX(id)
+            # (AUTOINCREMENT is monotonic) — count alone would leave the
+            # remote docs permanently unsearchable here
+            max_local = max(st.doc_map, default=0)
+            if (
+                n_db != n_local
+                or max_db != max_local
+                or cent_db != st.centroid_db_ids
+            ):
                 before = st.ivf
                 fresh = self._load_category(cid)
                 with st.lock:

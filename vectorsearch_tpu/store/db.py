@@ -405,6 +405,19 @@ class Store:
             ).fetchone()
         return n
 
+    def max_embedding_id(self, category_id: int) -> int:
+        """Largest embedding id in a category (0 if empty). AUTOINCREMENT
+        ids are monotonic, so (count, max_id) is a collision-proof cheap
+        divergence signal: a remote delete+upload pair leaves COUNT(*)
+        unchanged but always raises MAX(id)."""
+        with self._lock:
+            (m,) = self._conn.execute(
+                "SELECT MAX(e.id) FROM embeddings e JOIN documents d "
+                "ON d.id = e.document_id WHERE d.category_id=?",
+                (category_id,),
+            ).fetchone()
+        return m or 0
+
     def document_ids_for_category(self, category_id: int) -> list[int]:
         with self._lock:
             rows = self._conn.execute(

@@ -76,7 +76,10 @@ def load(
             meta = json.loads(bytes(z["__meta__"]).decode("utf-8"))
             arrays = {k: z[k] for k in z.files if k != "__meta__"}
         return meta, arrays
-    except (OSError, ValueError, KeyError, json.JSONDecodeError):
+    except Exception:
+        # any unreadable snapshot (torn zip, bad pickle header, missing
+        # meta, truncated file) falls back to the SQL rebuild path — a
+        # corrupt snapshot must never block boot
         return None
 
 
