@@ -46,6 +46,29 @@ def test_pallas_matches_xla_scan(nprobe):
         assert len(set(a) & set(b)) >= 4
 
 
+@pytest.mark.parametrize("b,nprobe", [(33, 2), (5, 6), (64, 1), (1, 3)])
+def test_grouped_kernel_batch_shapes(b, nprobe):
+    """Cluster grouping must agree with the XLA path across batch shapes
+    that stress the group packer: many queries per cluster (multi-tile
+    groups), partial tiles, single-query batches."""
+    ivf, v = make_ivf(n_per=24, k=6)
+    rng = np.random.default_rng(7)
+    q = jnp.asarray(
+        v[rng.integers(0, len(v), size=b)] + 0.01, jnp.float32
+    )
+    s_ref, i_ref = _ivf_scan(
+        q, ivf.centroids_n, ivf.buckets, ivf.counts_dev, ivf.bucket_mask,
+        nprobe=nprobe, k=4,
+    )
+    s_pal, i_pal = ivf_scan_pallas(
+        q, ivf.centroids_n, ivf.buckets, ivf.counts_dev, ivf.bucket_mask,
+        nprobe=nprobe, k=4, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(s_pal), np.asarray(s_ref), atol=2e-3)
+    for a, bb in zip(np.asarray(i_pal), np.asarray(i_ref)):
+        assert len(set(a) & set(bb)) >= 3
+
+
 def test_pallas_masks_tombstones():
     ivf, v = make_ivf(n_per=10, k=2)
     # tombstone the first data row

@@ -43,33 +43,25 @@ def bucket_capacity(max_count: int) -> int:
     return ((need + constants.BUCKET_ROUND - 1) // constants.BUCKET_ROUND) * constants.BUCKET_ROUND
 
 
-@functools.partial(jax.jit, static_argnames=("nprobe", "k"))
-def _ivf_scan(
+def _scan_probed(
     queries: jax.Array,
-    centroids_n: jax.Array,
     buckets: PackedVectors,
     counts: jax.Array,
     bucket_mask: jax.Array,
-    nprobe: int,
+    probed: jax.Array,
+    probe_valid: jax.Array | None,
     k: int,
 ):
-    """Fused probe + bucket scan. Returns (scores[B,k], global_slot[B,k]).
+    """Bucket scan over an EXPLICIT probe list (XLA gather path).
 
-    global_slot = cluster * cap + slot_in_cluster; -inf rows carry slot of a
-    masked candidate (caller nulls them by score).
+    probed: int32 [B, m] cluster ids per query; probe_valid: bool [B, m]
+    (False entries are scanned but fully masked — used by the sharded path
+    where each device owns only part of the global top-nprobe). Returns
+    (scores[B,k], global_slot[B,k]) with global_slot = cluster*cap + slot.
     """
-    b = queries.shape[0]
+    b, nprobe = probed.shape
     kk, cap, d = buckets.codes.shape
     qn = cosine.l2_normalize(queries.astype(jnp.float32))
-
-    # --- probe: [B, K] cosine vs normalized centroids (small matmul) ---
-    probe = jnp.dot(
-        qn.astype(jnp.bfloat16),
-        centroids_n.astype(jnp.bfloat16).T,
-        preferred_element_type=jnp.float32,
-    )
-    _, probed = jax.lax.top_k(probe, nprobe)  # [B, nprobe] cluster ids
-
     flat_probed = probed.reshape(b * nprobe)
 
     # --- gather probed buckets: [G, cap, D] + sidecars [G, cap] ---
@@ -93,9 +85,11 @@ def _ivf_scan(
     inner = g_offset * qs_rep[:, None] + g_scale * dots
     scores = inner * g_inv
 
-    # --- mask padding + tombstones ---
+    # --- mask padding + tombstones (+ non-owned probe entries) ---
     col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
     valid = (col < g_counts[:, None]) & g_mask
+    if probe_valid is not None:
+        valid = valid & probe_valid.reshape(b * nprobe, 1)
     scores = jnp.where(valid, scores, cosine.NEG_INF)
 
     # --- top-k over the union of probed buckets ---
@@ -109,6 +103,33 @@ def _ivf_scan(
         best = jnp.pad(best, ((0, 0), (0, k - k_eff)), constant_values=cosine.NEG_INF)
         gslot = jnp.pad(gslot, ((0, 0), (0, k - k_eff)))
     return best, gslot
+
+
+@functools.partial(jax.jit, static_argnames=("nprobe", "k"))
+def _ivf_scan(
+    queries: jax.Array,
+    centroids_n: jax.Array,
+    buckets: PackedVectors,
+    counts: jax.Array,
+    bucket_mask: jax.Array,
+    nprobe: int,
+    k: int,
+):
+    """Fused probe + bucket scan. Returns (scores[B,k], global_slot[B,k]).
+
+    global_slot = cluster * cap + slot_in_cluster; -inf rows carry slot of a
+    masked candidate (caller nulls them by score).
+    """
+    qn = cosine.l2_normalize(queries.astype(jnp.float32))
+    probe = jnp.dot(
+        qn.astype(jnp.bfloat16),
+        centroids_n.astype(jnp.bfloat16).T,
+        preferred_element_type=jnp.float32,
+    )
+    _, probed = jax.lax.top_k(probe, nprobe)  # [B, nprobe] cluster ids
+    return _scan_probed(
+        queries, buckets, counts, bucket_mask, probed, None, k
+    )
 
 
 @jax.jit
@@ -290,11 +311,15 @@ class IVFIndex:
         nprobe = max(1, min(nprobe, self.k_clusters))
         k_coarse = max(k, refine) if refine else k
         use_pallas = _scan_impl() is not _ivf_scan
-        # The Pallas path's [B, nprobe, cap, 1] score buffer pads its
-        # trailing dim to the 128-lane tile at rest; bound the padded
-        # footprint (~512 MB) by slicing large query batches.
-        bytes_per_q = nprobe * self.cap * 4 * 128
-        b_max = max(1, (512 << 20) // max(1, bytes_per_q))
+        if use_pallas:
+            # grouped kernel: transient footprint is the [P + K*QT, cap]
+            # f32 score grid plus the [P, cap] pair gather — bound it
+            bytes_per_q = nprobe * self.cap * 4 * 2
+            b_max = max(1, (2 << 30) // max(1, bytes_per_q))
+        else:
+            # XLA path materializes the [B*nprobe, cap, D] bucket gather
+            bytes_per_q = nprobe * self.cap * (self.dim + 16)
+            b_max = max(1, (2 << 30) // max(1, bytes_per_q))
 
         def one(qs):
             if refine:

@@ -1,30 +1,41 @@
-"""Fused Pallas IVF bucket scan.
+"""Fused Pallas IVF bucket scan — cluster-grouped MXU formulation.
 
 The XLA path (index/ivf.py _ivf_scan) materializes the gather of probed
-buckets before the batched GEMV: HBM traffic = gather-read + gather-write +
-dot-read = 3x the probed code bytes, and the gather itself is
-O(B*nprobe*cap*D) HBM — 19 GB at B=128/nprobe=64/cap=3072/D=768, an OOM.
+buckets before scoring: HBM traffic = gather-read + gather-write + dot-read
+= 3x the probed code bytes, and the gather is O(B*nprobe*cap*D) — 19 GB at
+B=512/nprobe=8/cap=3072/D=768.
 
-This kernel reads each probed bucket tile from HBM exactly once:
-scalar-prefetched cluster ids drive the BlockSpec index_maps, so Pallas
-pipelines the HBM->VMEM streaming of [TILE, D] int8 code tiles directly
-(double-buffered DMA), scores them on-chip, and writes only the f32
-scores — 4 bytes/row out vs 768 bytes/row in. jax.lax.top_k then reduces
-[B, nprobe*cap]. (SURVEY.md §7 stage 3/4: fused affine correction +
-blockwise scan.)
+Round-1 shipped a scalar-prefetch kernel that scored ONE query per grid
+step (VPU multiply-reduce, no MXU) and emitted a [B, nprobe, cap, 1] score
+buffer whose trailing dim pads 128x at rest (T(8,128) tiling) — measured
+~100x off roofline (VERDICT r1 weak#1). This rewrite fixes both:
 
-The affine identity is refactored so the kernel is pure vector arithmetic
-(Mosaic on this toolchain cannot broadcast dynamic scalars across lanes,
-store scalars to VMEM, or handle 1-D vector layouts):
+* **Cluster grouping**: queries probing the same cluster share one codes
+  read. The (query, cluster) pairs are sorted by cluster and packed into
+  groups of QT query rows per cluster; each grid step computes
+  [QT, D] @ [D, TILE] on the MXU. Codes traffic drops from
+  B*nprobe*cap*D to ~#groups*cap*D (#groups ~= #distinct probed clusters
+  when QT ~ mean queries/cluster).
+* **Lane-major output**: scores land as [G, QT, cap] f32 (cap on lanes),
+  no pad blowup; a cheap gather restores per-(query, probe) order before
+  the top-k epilogue.
 
-    score[r] = a[r] * <codes[r], q> + bv[r] * qsum + bias[r]
-      a    = scale * inv_norm              (precomputed, [K, cap, 1])
-      bv   = offset * inv_norm             (precomputed, [K, cap, 1])
-      bias = 0 where live, -inf where padding/tombstone  ([K, cap, 1])
-      qsum is pre-broadcast to [B, TILE, 1] on the XLA side
+Affine identity per row r of a probed bucket, query q (quant/layout.py):
 
-so masking needs no `count` scalar in-kernel and every intermediate is a
-2-D [TILE, 1] column (sublane-major) vector.
+    score[q, r] = a[r] * <codes[r], qn[q]> + bv[r] * qsum[q] + bias[r]
+      a    = scale * inv_norm              [K, 1, cap] lane-major rows
+      bv   = offset * inv_norm             [K, 1, cap]
+      bias = 0 live / -inf padding+tombstone
+      qsum = per-query f32 column          [G, QT, 1]
+
+The dots run bf16 x bf16 -> f32 on the MXU (int8 codes are exact in bf16;
+the bf16 query rounding is removed by the exact-f32 refine stage, same as
+round 1). Grid order is (tiles, groups) — groups fastest — so the padded
+tail of unused groups all map to the same (cluster 0, tile t) codes block
+on consecutive steps and Pallas skips the redundant fetches.
+
+Replaces the reference's per-batch SQL scan hot loop
+(server/search.go:241-273).
 """
 from __future__ import annotations
 
@@ -41,23 +52,35 @@ from . import cosine
 TILE_CAP = 1024  # bucket rows per grid step (int8 sublane multiple)
 
 
-def _scan_kernel(
+def _next_pow2(x: int) -> int:
+    n = 1
+    while n < x:
+        n *= 2
+    return n
+
+
+def _grouped_kernel(
     # scalar prefetch
-    probed_ref,  # i32 [B, nprobe]
+    gcl_ref,  # i32 [G] cluster id per group
     # VMEM blocks
-    q_ref,  # bf16 [1, 1, D]     query row b (block-selected)
-    qsum_ref,  # f32 [1, TILE, 1] qsum pre-broadcast
+    qg_ref,  # bf16 [1, QT, D]   pre-gathered query rows for group g
+    qsum_ref,  # f32 [1, QT, 1]  per-query sum column
     codes_ref,  # i8  [1, TILE, D]
-    a_ref,  # f32 [1, TILE, 1]    scale * inv_norm
-    bv_ref,  # f32 [1, TILE, 1]   offset * inv_norm
-    bias_ref,  # f32 [1, TILE, 1] 0 live / -inf dead
+    a_ref,  # f32 [1, 1, TILE]    scale * inv_norm (lane-major row)
+    bv_ref,  # f32 [1, 1, TILE]   offset * inv_norm
+    bias_ref,  # f32 [1, 1, TILE] 0 live / -inf dead
     # output
-    out_ref,  # f32 [1, 1, TILE, 1]
+    out_ref,  # f32 [1, QT, TILE]
 ):
-    q = q_ref[0, 0, :].astype(jnp.float32)  # [D]
-    codes = codes_ref[0].astype(jnp.float32)  # [TILE, D]
-    dots = jnp.sum(codes * q[None, :], axis=1, keepdims=True)  # [TILE, 1]
-    out_ref[0, 0] = a_ref[0] * dots + bv_ref[0] * qsum_ref[0] + bias_ref[0]
+    q = qg_ref[0]  # [QT, D] bf16
+    codes = codes_ref[0].astype(jnp.bfloat16)  # [TILE, D]
+    dots = jax.lax.dot_general(
+        q,
+        codes,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [QT, TILE] on the MXU
+    out_ref[0] = dots * a_ref[0] + qsum_ref[0] * bv_ref[0] + bias_ref[0]
 
 
 @functools.partial(jax.jit, static_argnames=("nprobe", "k", "interpret"))
@@ -75,8 +98,8 @@ def ivf_scan_pallas(
     b = queries.shape[0]
     kk, cap, d = buckets.codes.shape
     nprobe = max(1, min(nprobe, kk))
-    tiles = max(1, cap // TILE_CAP)
     tile = min(cap, TILE_CAP)
+    tiles = cap // tile
     assert cap % tile == 0, (cap, tile)
 
     qn = cosine.l2_normalize(queries.astype(jnp.float32))
@@ -86,62 +109,82 @@ def ivf_scan_pallas(
         preferred_element_type=jnp.float32,
     )
     _, probed = jax.lax.top_k(probe, nprobe)  # [B, nprobe]
-
     qsum = jnp.sum(qn, axis=-1)  # [B]
-    qsum_tile = jnp.broadcast_to(qsum[:, None, None], (b, tile, 1))
 
-    # fold sidecars + padding/tombstone mask into kernel-ready columns
+    # ---- group building: pack (query, cluster) pairs into QT-row groups
+    # per cluster. QT ~ 2x the mean pairs/cluster keeps most groups full
+    # (read amplification) without padding waste (compute).
+    p = b * nprobe
+    qt = max(8, min(32, _next_pow2(-(-2 * p // kk))))
+    # sum_c ceil(m_c/QT) <= P//QT + #distinct <= P//QT + min(K, P)
+    g_max = p // qt + min(kk, p)
+
+    flat_c = probed.reshape(p).astype(jnp.int32)
+    q_of_pair = jnp.arange(p, dtype=jnp.int32) // nprobe
+    order = jnp.argsort(flat_c)  # stable
+    sc = flat_c[order]
+    sq = q_of_pair[order]
+    idx = jnp.arange(p, dtype=jnp.int32)
+    new_cluster = jnp.concatenate(
+        [jnp.ones((1,), bool), sc[1:] != sc[:-1]]
+    )
+    seg_start = jax.lax.cummax(jnp.where(new_cluster, idx, 0))
+    rank = idx - seg_start
+    new_group = new_cluster | (rank % qt == 0)
+    gid = jnp.cumsum(new_group.astype(jnp.int32)) - 1  # [P]
+    slot = rank % qt
+
+    grp_cluster = jnp.zeros((g_max,), jnp.int32).at[gid].set(sc)
+    qidx = jnp.zeros((g_max, qt), jnp.int32).at[gid, slot].set(sq)
+    # inverse permutation: flat pair index -> (group, slot) score row
+    pair_slot = jnp.zeros((p,), jnp.int32).at[order].set(gid * qt + slot)
+
+    qg = qn.astype(jnp.bfloat16)[qidx]  # [G, QT, D]
+    qsum_g = qsum[qidx][..., None]  # [G, QT, 1]
+
+    # fold sidecars + padding/tombstone mask into lane-major rows
     col = jax.lax.broadcasted_iota(jnp.int32, (kk, cap), 1)
     valid = (col < counts[:, None]) & bucket_mask
-    a = (buckets.scale * buckets.inv_norm).reshape(kk, cap, 1)
-    bv = (buckets.offset * buckets.inv_norm).reshape(kk, cap, 1)
-    bias = jnp.where(valid, 0.0, cosine.NEG_INF).reshape(kk, cap, 1)
+    a = (buckets.scale * buckets.inv_norm).reshape(kk, 1, cap)
+    bv = (buckets.offset * buckets.inv_norm).reshape(kk, 1, cap)
+    bias = jnp.where(valid, 0.0, cosine.NEG_INF).reshape(kk, 1, cap)
 
-    side_spec = pl.BlockSpec(
-        (1, tile, 1),
-        lambda b_, j_, t_, probed: (probed[b_, j_], t_, 0),
+    row_spec = pl.BlockSpec(
+        (1, 1, tile), lambda t_, g_, gcl: (gcl[g_], 0, t_)
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(b, nprobe, tiles),
+        # groups fastest: unused tail groups hit the same (0, t) codes
+        # block consecutively and the pipeline skips the re-fetch
+        grid=(tiles, g_max),
         in_specs=[
-            pl.BlockSpec((1, 1, d), lambda b_, j_, t_, probed: (b_, 0, 0)),
-            pl.BlockSpec((1, tile, 1), lambda b_, j_, t_, probed: (b_, 0, 0)),
+            pl.BlockSpec((1, qt, d), lambda t_, g_, gcl: (g_, 0, 0)),
+            pl.BlockSpec((1, qt, 1), lambda t_, g_, gcl: (g_, 0, 0)),
             pl.BlockSpec(
-                (1, tile, d),
-                lambda b_, j_, t_, probed: (probed[b_, j_], t_, 0),
+                (1, tile, d), lambda t_, g_, gcl: (gcl[g_], t_, 0)
             ),
-            side_spec,
-            side_spec,
-            side_spec,
+            row_spec,
+            row_spec,
+            row_spec,
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, tile, 1),
-            lambda b_, j_, t_, probed: (b_, j_, t_, 0),
+            (1, qt, tile), lambda t_, g_, gcl: (g_, 0, t_)
         ),
     )
-    scores = pl.pallas_call(
-        _scan_kernel,
+    out = pl.pallas_call(
+        _grouped_kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, nprobe, cap, 1), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((g_max, qt, cap), jnp.float32),
         interpret=interpret,
-    )(
-        probed.astype(jnp.int32),
-        qn.astype(jnp.bfloat16).reshape(b, 1, d),
-        qsum_tile,
-        buckets.codes,
-        a,
-        bv,
-        bias,
-    )
+    )(grp_cluster, qg, qsum_g, buckets.codes, a, bv, bias)
 
-    # top-k over the union of probed buckets (same merge as _ivf_scan)
-    scores = scores.reshape(b, nprobe * cap)
+    # ---- restore pair order, top-k over the union of probed buckets
+    pair_scores = out.reshape(g_max * qt, cap)[pair_slot]  # [P, cap]
+    scores = pair_scores.reshape(b, nprobe * cap)
     k_eff = min(k, nprobe * cap)
     best, pos = jax.lax.top_k(scores, k_eff)
     cluster = jnp.take_along_axis(probed, pos // cap, axis=-1)
-    slot = pos % cap
-    gslot = cluster * cap + slot
+    gslot = cluster * cap + pos % cap
     if k_eff < k:
         best = jnp.pad(
             best, ((0, 0), (0, k - k_eff)), constant_values=cosine.NEG_INF
