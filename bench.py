@@ -57,8 +57,6 @@ def main():
 
     from vectorsearch_tpu.build import build_centroids
     from vectorsearch_tpu.index import IVFIndex
-    from vectorsearch_tpu.index.ivf import _scan_impl
-    scan = _scan_impl()
     from vectorsearch_tpu.kernels import cosine
     from vectorsearch_tpu.quant import layout
 
@@ -172,20 +170,31 @@ def main():
     def flat_ids_map(idx):
         return ids[np.clip(idx, 0, N - 1)]
 
-    # IVF probe path (low-latency configs)
-    for nprobe in (1, NPROBE):
-        try:
-            measure(
-                f"ivf nprobe={nprobe}",
-                lambda q, np_=nprobe: scan(
-                    q, ivf.centroids_n, ivf.buckets, ivf.counts_dev,
-                    ivf.bucket_mask, nprobe=np_, k=TOPK,
-                ),
-                BATCH,
-                ivf_ids,
-            )
-        except Exception as e:
-            log("bench: ivf nprobe=%d failed: %s", nprobe, e)
+    # IVF serving path: nprobe sweep 1 -> 8 -> 64 (BASELINE config 3) at
+    # B=512 with the fused exact-f32 refine — the exact program the engine
+    # serves with (index/ivf.py _scan_refined)
+    from vectorsearch_tpu.index.ivf import _scan_refined
+
+    use_pallas = (
+        jax.default_backend() == "tpu"
+        and os.environ.get("VSTPU_NO_PALLAS") != "1"
+    )
+    for nprobe in (1, NPROBE, 64):
+        nprobe = min(nprobe, ivf.k_clusters)
+        for bsz in {BATCH, flat_batch}:
+            try:
+                measure(
+                    f"ivf+refine nprobe={nprobe}",
+                    lambda q, np_=nprobe: _scan_refined(
+                        q, ivf.centroids_n, ivf.buckets, ivf.counts_dev,
+                        ivf.bucket_mask, nprobe=np_, k_coarse=32, k=TOPK,
+                        use_pallas=use_pallas,
+                    ),
+                    bsz,
+                    ivf_ids,
+                )
+            except Exception as e:
+                log("bench: ivf nprobe=%d B=%d failed: %s", nprobe, bsz, e)
 
     # Flat exhaustive batched scan (throughput config; approx top-k unit)
     for fb in {BATCH, flat_batch}:

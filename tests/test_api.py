@@ -235,6 +235,38 @@ def test_static_pages(engine):
     run(engine, flow)
 
 
+def test_wasm_headers_on_every_route(engine):
+    """COOP/COEP on all responses (reference main.go:117-125) — required
+    for the UI's WASM/SharedArrayBuffer document parsing."""
+
+    async def flow(client):
+        for path in ("/", "/api/stats", "/api/openapi.yml"):
+            r = await client.get(path)
+            assert r.headers["Cross-Origin-Opener-Policy"] == "same-origin"
+            assert r.headers["Cross-Origin-Embedder-Policy"] == "require-corp"
+        r = await client.post("/api/search", json={"owner": "a", "category": "c", "text": "x"})
+        assert r.headers["Cross-Origin-Opener-Policy"] == "same-origin"
+
+    run(engine, flow)
+
+
+def test_static_zstd_compression(engine):
+    """The static route compresses like the reference's '/' FileServer
+    wrap (main.go:178)."""
+    import zstandard
+
+    async def flow(client):
+        r = await client.get(
+            "/", headers={"Accept-Encoding": "zstd"}, auto_decompress=False
+        )
+        assert r.headers.get("Content-Encoding") == "zstd"
+        raw = await r.read()
+        html = zstandard.ZstdDecompressor().decompress(raw)
+        assert b"<html" in html or b"<!doctype" in html.lower()
+
+    run(engine, flow)
+
+
 def test_search_via_get(engine):
     async def flow(client):
         # reference allows GET on /api/search (server/search.go:52)

@@ -8,12 +8,15 @@ Routes (main.go:168-178):
   POST|DELETE /api/delete/owner | /api/delete/category | /api/delete/document
   GET      /                      -> embedded UI, /api -> docs, openapi.yml
 
-Middleware parity: zstd request decompression on every API route
-(main.go:129-166), zstd response compression on upload/search (the
-reference compresses only those two plus static), 405 with Allow header,
-400 on bad JSON, 499 when the client goes away mid-request, 500 with
-{"error": ...} otherwise. Engine calls are synchronous (device-bound), so
-they run in the default thread executor.
+Middleware parity: WASM COOP/COEP headers on every route
+(main.go:117-125), STREAMING zstd request decompression on every API
+route (main.go:129-146 wraps r.Body in a zstd reader; here request chunks
+feed an incremental decompressor, so the decompressed body is never
+buffered twice), zstd response compression on upload/search AND the
+static routes (main.go:168-178 — the reference compresses exactly those),
+405 with Allow header, 400 on bad JSON, 499 when the client goes away
+mid-request, 500 with {"error": ...} otherwise. Engine calls are
+synchronous (device-bound), so they run in the default thread executor.
 """
 from __future__ import annotations
 
@@ -25,9 +28,13 @@ from aiohttp import web
 
 from ..engine import Engine
 from ..logger import next_txid, sugar
-from ..store.db import compress, decompress
+from ..store.db import compress
 
 STATIC_DIR = os.path.join(os.path.dirname(__file__), "static")
+
+# zip-bomb guard on streamed request decompression (the reference streams
+# straight into json.Decode with no cap; we bound the expansion)
+MAX_DECOMPRESSED = 1 << 30
 
 
 def _json_error(status: int, message: str, **headers) -> web.Response:
@@ -40,9 +47,28 @@ def _json_error(status: int, message: str, **headers) -> web.Response:
 
 
 async def _read_json(request: web.Request):
-    body = await request.read()
     if request.headers.get("Content-Encoding", "").strip().lower() == "zstd":
-        body = decompress(body)
+        # streaming decompression: raw chunks feed an incremental
+        # decompressor (reference: zstdRequestReader, main.go:129-146)
+        try:
+            import zstandard
+
+            dctx = zstandard.ZstdDecompressor().decompressobj()
+            parts = []
+            total = 0
+            async for chunk in request.content.iter_chunked(1 << 16):
+                part = dctx.decompress(chunk)
+                total += len(part)
+                if total > MAX_DECOMPRESSED:
+                    raise ValueError("decompressed body too large")
+                parts.append(part)
+            body = b"".join(parts)
+        except ImportError:  # pragma: no cover - zstd present in image
+            from ..store.db import decompress
+
+            body = decompress(await request.read())
+    else:
+        body = await request.read()
     if not body:
         return {}
     return json.loads(body)
@@ -65,8 +91,20 @@ def _json_response(request: web.Request, obj, compressible: bool = False):
     )
 
 
+@web.middleware
+async def _wasm_headers(request: web.Request, handler):
+    """COOP/COEP on every response (reference main.go:117-125): what lets
+    pdfjs/WASM run in the browser UI (SharedArrayBuffer isolation)."""
+    resp = await handler(request)
+    resp.headers["Cross-Origin-Opener-Policy"] = "same-origin"
+    resp.headers["Cross-Origin-Embedder-Policy"] = "require-corp"
+    return resp
+
+
 def build_app(engine: Engine) -> web.Application:
-    app = web.Application(client_max_size=256 * 1024 * 1024)
+    app = web.Application(
+        client_max_size=256 * 1024 * 1024, middlewares=[_wasm_headers]
+    )
 
     def handler(methods, fn, compressible=False):
         async def wrapped(request: web.Request):
@@ -208,16 +246,21 @@ def build_app(engine: Engine) -> web.Application:
     )
 
     # ---- static UI + API docs (reference: static/static.go, ui/) ----
-    async def index(request):
-        return web.FileResponse(os.path.join(STATIC_DIR, "index.html"))
+    # compressed like the reference's "/" FileServer route (main.go:178)
+    def static_handler(name: str, ctype: str):
+        path = os.path.join(STATIC_DIR, name)
 
-    async def api_docs(request):
-        return web.FileResponse(os.path.join(STATIC_DIR, "api.html"))
+        async def serve(request):
+            with open(path, "rb") as f:
+                raw = f.read()
+            body, headers = _maybe_compress(request, raw)
+            return web.Response(body=body, content_type=ctype, headers=headers)
 
-    async def openapi(request):
-        return web.FileResponse(
-            os.path.join(STATIC_DIR, "openapi.yml"),
-        )
+        return serve
+
+    index = static_handler("index.html", "text/html")
+    api_docs = static_handler("api.html", "text/html")
+    openapi = static_handler("openapi.yml", "text/yaml")
 
     async def stats(request):
         loop = asyncio.get_running_loop()
