@@ -66,13 +66,76 @@ def _tile_data(packed: PackedVectors, chunk: int, pad_multiple: int = 1):
     return tiles, valid, n
 
 
-def _assign_and_accumulate(tiles, valid, centroids, axis: str | None):
+def _k_pad_class(k: int) -> int:
+    """Round a centroid count up to a size class so every Lloyd's phase
+    (superset, main, survivors, balance sub-splits) reuses a handful of
+    compiled shapes. Every distinct K used to mean a fresh jit — and
+    through the remote-compile tunnel each compile costs 30-120 s, which
+    dominated the r1 10M build (VERDICT weak#7 ballpark: most of 744 s
+    was compiles, not compute)."""
+    c = 256
+    while c < k:
+        c *= 2
+    return c
+
+
+def _use_pallas_kmeans(kk: int) -> bool:
+    """Opt-in (VSTPU_KMEANS_PALLAS=1): the fused Pallas pass
+    (kernels/pallas_kmeans.py) was built for the accumulate-bandwidth
+    theory of the r1 10M build, but measured on v5e at 1M x 768 it ties
+    or slightly loses to XLA (K=1024: 58 vs 50 ms/iter; K=4096: 138 vs
+    121 ms) — XLA's scan body overlaps its [chunk, K] intermediates well,
+    and the kernel's exact hi+lo accumulate costs one extra MXU pass. The
+    real 10M-build levers were compile-count collapse (_k_pad_class) and
+    the sampled superset phase. Kept for larger-K regimes and future
+    toolchains; correctness is pinned by tests/test_pallas_kmeans.py."""
+    import os
+
+    from ..kernels.pallas_kmeans import ASSIGN_K_MAX
+
+    return (
+        os.environ.get("VSTPU_KMEANS_PALLAS") == "1"
+        and jax.default_backend() == "tpu"
+        and kk <= ASSIGN_K_MAX
+    )
+
+
+def _assign_and_accumulate(
+    tiles, valid, centroids, k_valid, axis: str | None, use_pallas=None
+):
     """One full Lloyd's pass over local tiles.
+
+    `centroids` may be padded past the real count; `k_valid` (device i32
+    scalar) masks the padded columns out of the argmax without changing
+    the compiled shape.
 
     Returns (sums f32[K,D], counts f32[K], assignments int32[tiles, chunk]).
     Inside shard_map (`axis` set) sums/counts are psum'ed over the mesh.
     """
     kk = centroids.shape[0]
+    if use_pallas is None:
+        use_pallas = _use_pallas_kmeans(kk)
+    if use_pallas:
+        from ..kernels.pallas_kmeans import TILE_ROWS, assign_accumulate_pallas
+
+        n_tiles, chunk = valid.shape
+        if chunk % TILE_ROWS == 0:
+            flat = PackedVectors(
+                codes=tiles.codes.reshape(n_tiles * chunk, -1),
+                scale=tiles.scale.reshape(-1),
+                offset=tiles.offset.reshape(-1),
+                inv_norm=tiles.inv_norm.reshape(-1),
+            )
+            kmask = jnp.where(
+                jnp.arange(kk) < k_valid, 0.0, -jnp.inf
+            ).astype(jnp.float32)
+            sums, counts, cid = assign_accumulate_pallas(
+                flat, valid.reshape(-1), centroids, kmask
+            )
+            if axis is not None:
+                sums = jax.lax.psum(sums, axis)
+                counts = jax.lax.psum(counts, axis)
+            return sums, counts, cid.reshape(n_tiles, chunk)
     cn = cosine.l2_normalize(centroids)
     c_sums = jnp.sum(cn, axis=-1)
 
@@ -87,6 +150,8 @@ def _assign_and_accumulate(tiles, valid, centroids, axis: str | None):
         )  # [chunk, K]
         inner = tile.offset[:, None] * c_sums[None, :] + tile.scale[:, None] * dots
         sims = inner * tile.inv_norm[:, None]
+        kcol = jax.lax.broadcasted_iota(jnp.int32, sims.shape, 1)
+        sims = jnp.where(kcol < k_valid, sims, -jnp.inf)
         cid = jnp.argmax(sims, axis=-1).astype(jnp.int32)
 
         onehot = (
@@ -125,9 +190,10 @@ def _assign_and_accumulate(tiles, valid, centroids, axis: str | None):
 def _make_iteration(mesh: Mesh | None, axis: str = "data"):
     """Compile one Lloyd's iteration, optionally sharded over `mesh`."""
 
-    def iteration(tiles, valid, centroids, prev_assign):
+    def iteration(tiles, valid, centroids, prev_assign, k_valid):
         sums, counts, cids = _assign_and_accumulate(
-            tiles, valid, centroids, axis if mesh is not None else None
+            tiles, valid, centroids, k_valid,
+            axis if mesh is not None else None,
         )
         new_centroids = jnp.where(
             counts[:, None] > 0, sums / jnp.maximum(counts, 1)[:, None], centroids
@@ -147,6 +213,7 @@ def _make_iteration(mesh: Mesh | None, axis: str = "data"):
         pv,
         P(),
         pv,
+        P(),
     )
     specs_out = (P(), P(), pv, P())
     return jax.jit(
@@ -200,22 +267,28 @@ def lloyd(
     if prepared is None:
         prepared = prepare_tiles(packed, chunk, mesh)
     d_tiles, d_valid, d_prev, n = prepared
-    centroids = jnp.asarray(init_centroids, jnp.float32)
+    k_real = init_centroids.shape[0]
+    k_pad = _k_pad_class(k_real)
+    centroids = jnp.asarray(
+        np.pad(np.asarray(init_centroids, np.float32), ((0, k_pad - k_real), (0, 0))),
+        jnp.float32,
+    )
+    k_valid = jnp.int32(k_real)  # dynamic mask, not a compile shape
     iteration = _make_iteration(mesh)
 
     counts = None
     it = 0
     for it in range(1, max_iters + 1):
         centroids, counts, d_prev, changes = iteration(
-            d_tiles, d_valid, centroids, d_prev
+            d_tiles, d_valid, centroids, d_prev, k_valid
         )
         if int(changes) <= tol_changes:
             break
     assignments = np.asarray(d_prev).reshape(-1)[:n]
     return KMeansResult(
-        centroids=np.asarray(centroids),
+        centroids=np.asarray(centroids)[:k_real],
         assignments=assignments,
-        counts=np.asarray(counts, np.int64),
+        counts=np.asarray(counts, np.int64)[:k_real],
         iterations=it,
     )
 
@@ -261,10 +334,30 @@ def kmeans(
     k_super = min(k * max(1, superset_mul), n)
     init = sample_init(packed, k_super, seed=seed)
     if k_super > k:
-        phase1 = lloyd(
-            packed, init, max_iters=superset_iters, chunk=chunk, mesh=mesh,
-            prepared=prepared,
-        )
+        # The superset phase only seeds the init, so it runs on a SAMPLE
+        # (the reference k-means's a 50k sample too, dnc/dnc.go:320-324;
+        # it never sees the full corpus before the final reassignment).
+        # Full-corpus Lloyd's at k_super = 5x K was the single most
+        # expensive phase of the r1 10M build: 10M x 20480 dots per
+        # iteration, 25x the main phase's accumulate traffic.
+        sample_n = min(n, max(constants.SAMPLE_SIZE, 25 * k_super))
+        if sample_n < n:
+            rng = np.random.default_rng(seed + 1)
+            pick = np.sort(rng.choice(n, size=sample_n, replace=False))
+            sub = PackedVectors(
+                codes=np.asarray(packed.codes)[pick],
+                scale=np.asarray(packed.scale)[pick],
+                offset=np.asarray(packed.offset)[pick],
+                inv_norm=np.asarray(packed.inv_norm)[pick],
+            )
+            phase1 = lloyd(
+                sub, init, max_iters=superset_iters, chunk=chunk, mesh=mesh,
+            )
+        else:
+            phase1 = lloyd(
+                packed, init, max_iters=superset_iters, chunk=chunk,
+                mesh=mesh, prepared=prepared,
+            )
         top = np.argsort(-phase1.counts, kind="stable")[:k]
         init = phase1.centroids[top]
     return lloyd(
