@@ -143,10 +143,13 @@ def main(argv: list[str]) -> int:
 
     if cfg.database.postgres:
         # The reference's Postgres + read-replica path (database.go:86-103);
-        # this build has no Postgres driver baked in — scale-out reads are
-        # sharded device replicas (parallel/sharded.py) instead.
+        # this image has no Postgres driver. The supported cross-host story
+        # is database.remote / database.serve_store (store/remote.py), and
+        # scale-out reads are sharded device replicas (parallel/sharded.py).
         sugar().warning(
-            "postgres DSNs configured but no driver in this build; using sqlite %s",
+            "postgres DSNs configured but no driver in this build; "
+            "use database.remote/serve_store for a cross-host shared store "
+            "(falling back to sqlite %s)",
             cfg.database.sqlite,
         )
     mesh = None
@@ -156,7 +159,26 @@ def main(argv: list[str]) -> int:
         mesh = default_mesh(cfg.mesh.devices or None)
         sugar().info("sharded serving over %d devices", mesh.devices.size)
 
-    store = Store(cfg.database.sqlite)
+    store_server = None
+    if cfg.database.remote:
+        # mount another instance's store server (cross-host shared store,
+        # the Postgres-role analogue — store/remote.py)
+        from vectorsearch_tpu.store.remote import RemoteStore
+
+        store = RemoteStore(cfg.database.remote)
+        sugar().info("using remote store %s", cfg.database.remote)
+    else:
+        store = Store(cfg.database.sqlite)
+    if cfg.database.serve_store:
+        from vectorsearch_tpu.store.remote import StoreServer
+
+        host, _, port = cfg.database.serve_store.rpartition(":")
+        store_server = StoreServer(
+            store if isinstance(store, Store) else Store(cfg.database.sqlite),
+            host or "0.0.0.0",
+            int(port),
+        ).start()
+        sugar().info("store server listening on %s", store_server.address)
     engine = Engine(store, ai, snapshot_dir=cfg.database.snapshots, mesh=mesh)
 
     # one-shot background index refresh at startup (reference: main.go:92),
@@ -186,6 +208,8 @@ def main(argv: list[str]) -> int:
     finally:
         engine.close()
         store.close()
+        if store_server is not None:
+            store_server.close()
     return 0
 
 

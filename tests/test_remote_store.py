@@ -1,0 +1,126 @@
+"""Cross-host shared store (store/remote.py): the Postgres-role analogue.
+
+Instance A owns the SQLite file and serves it; instance B (a different
+"host": it never touches A's filesystem, only the HTTP socket) mounts it
+with RemoteStore. VERDICT r1 missing#1 'Done' criterion: two instances on
+separate dirs/DSNs coordinating a rebuild."""
+import threading
+
+import numpy as np
+import pytest
+
+from vectorsearch_tpu import constants
+from vectorsearch_tpu.engine import Engine, EngineCache
+from vectorsearch_tpu.store import RemoteStore, Store, StoreServer
+
+from test_engine import WordHashAI
+
+
+@pytest.fixture(autouse=True)
+def small_buckets(monkeypatch):
+    monkeypatch.setattr(constants, "BUCKET_ROUND", 64)
+
+
+@pytest.fixture()
+def served_store(tmp_path):
+    local = Store(str(tmp_path / "hostA" / "store.db"))
+    server = StoreServer(local).start()
+    yield local, server.address
+    server.close()
+    local.close()
+
+
+def test_remote_store_api_roundtrip(served_store):
+    _, url = served_store
+    remote = RemoteStore(url)
+    owner = remote.get_or_create_owner("alice")
+    cat = remote.get_or_create_category(owner.id, "docs")
+    cent_id = remote.create_centroid(cat.id, b"\x01\x02\x03")
+    doc_ids, emb_ids = remote.insert_documents_with_embeddings(
+        cat.id,
+        [("doc-a", "ext-1", {"text": "hello", "n": 3})],
+        [[(b"\x09" * 16, cent_id)]],
+    )
+    assert doc_ids and emb_ids
+    docs = remote.fetch_documents(doc_ids)
+    assert docs[0].document == {"text": "hello", "n": 3}
+    assert docs[0].external_id == "ext-1"
+    cents = remote.centroids(cat.id)
+    assert cents[0].vector == b"\x01\x02\x03"
+    assert remote.count_embeddings(cat.id) == 1
+    assert remote.max_embedding_id(cat.id) == emb_ids[0]
+    assert remote.embedding_doc_map(cat.id) == {emb_ids[0]: doc_ids[0]}
+    pages = list(remote.iter_embeddings(cat.id, batch=10))
+    assert pages == [[(emb_ids[0], b"\x09" * 16, doc_ids[0])]]
+    # errors propagate with type
+    with pytest.raises(AttributeError):
+        remote.definitely_not_a_method()
+
+
+def test_remote_build_lock_cross_host(served_store):
+    local, url = served_store
+    remote = RemoteStore(url)
+    assert remote.try_acquire_build_lock(7, "host-b") is True
+    # the other "host" (the server's own store) sees the contention
+    assert local.try_acquire_build_lock(7, "host-a") is False
+    remote.release_build_lock(7, "host-b")
+    assert local.try_acquire_build_lock(7, "host-a") is True
+    local.release_build_lock(7, "host-a")
+
+
+def test_two_hosts_coordinate_rebuild(served_store, monkeypatch):
+    """Engine A (local store, serving it) and engine B (remote mount on a
+    different 'host'): B's mid-build upload through the shared store
+    survives A's rebuild, B's rebuild attempt is lock-skipped, and both
+    serve the same corpus afterwards."""
+    from vectorsearch_tpu.engine import engine as engine_mod
+
+    local, url = served_store
+    a = Engine(local, WordHashAI(), cache=EngineCache(ttl=0.0))
+    b = Engine(RemoteStore(url), WordHashAI(), cache=EngineCache(ttl=0.0))
+
+    a.upload(
+        "alice", "docs",
+        [{"name": f"d{i}", "document": {"text": f"w{i % 3} base {i}"}} for i in range(30)],
+    )
+    cat = local.get_category(local.get_owner("alice").id, "docs")
+    assert b.sync_with_store() == [cat.id]
+
+    build_started = threading.Event()
+    mid_done = threading.Event()
+    real_build = engine_mod.build_centroids
+
+    def slow_build(*args, **kw):
+        build_started.set()
+        assert mid_done.wait(30)
+        return real_build(*args, **kw)
+
+    monkeypatch.setattr(engine_mod, "build_centroids", slow_build)
+    t = threading.Thread(
+        target=lambda: a.refresh_category(cat.id, target_cluster_size=10, chunk=64)
+    )
+    t.start()
+    assert build_started.wait(30)
+    # B cannot rebuild while A holds the cross-host lock (SHARE NOWAIT
+    # contract: skipped, not retried — server/centroids.go:33-52)
+    assert b.refresh_category(cat.id, target_cluster_size=10, chunk=64) is False
+    # B uploads through the shared store mid-build
+    mid = b.upload(
+        "alice", "docs", [{"name": "bmid", "document": {"text": "remote zebra row"}}]
+    )
+    mid_done.set()
+    t.join(timeout=120)
+
+    assert local.count_embeddings(cat.id) == 31
+    # A picks up B's row after its swap reconciliation or sync
+    a.sync_with_store()
+    hits = a.search("alice", "docs", "remote zebra row", count=1, centroids=-1)
+    assert hits and hits[0].document_id == mid[0]
+    # B syncs the rebuilt centroid set and still serves everything
+    b.sync_with_store()
+    hits = b.search("alice", "docs", "w1 base 1", count=3, centroids=-1)
+    assert hits
+    # B can rebuild now that the lock is free
+    assert b.refresh_category(cat.id, target_cluster_size=10, chunk=64) is True
+    a.close()
+    b.close()

@@ -93,6 +93,12 @@ class DatabaseConfig:
     # Other instances' writes become visible within this window (the
     # reference's window is its per-search SQL read + 5s centroid cache).
     sync_interval: float = 0.0
+    # cross-host shared store (store/remote.py, the Postgres-role
+    # analogue): `remote` mounts another instance's store server
+    # ("http://host:port"); `serve_store` additionally serves THIS
+    # instance's sqlite store at "host:port" for others to mount.
+    remote: str = ""
+    serve_store: str = ""
 
     @staticmethod
     def parse(d: dict | None) -> "DatabaseConfig":
@@ -104,6 +110,8 @@ class DatabaseConfig:
             snapshots=d.get("snapshots", "./snapshots"),
             log_level=d.get("log_level", "error"),
             sync_interval=float(d.get("sync_interval", 0.0)),
+            remote=d.get("remote", ""),
+            serve_store=d.get("serve_store", ""),
         )
 
     def to_dict(self) -> dict:
@@ -114,6 +122,8 @@ class DatabaseConfig:
             "snapshots": self.snapshots,
             "log_level": self.log_level,
             "sync_interval": self.sync_interval,
+            "remote": self.remote,
+            "serve_store": self.serve_store,
         }
 
 

@@ -366,6 +366,20 @@ class Store:
                 ids.append(cur.lastrowid)
         return ids
 
+    def embeddings_page(
+        self, category_id: int, after_id: int, batch: int
+    ) -> list[tuple[int, bytes, int]]:
+        """One id-ordered page of (id, vector, document_id) after
+        `after_id` (also the paging unit RemoteStore streams over)."""
+        with self._lock:
+            rows = self._conn.execute(
+                "SELECT e.id, e.vector, e.document_id FROM embeddings e "
+                "JOIN documents d ON d.id = e.document_id "
+                "WHERE d.category_id=? AND e.id>? ORDER BY e.id LIMIT ?",
+                (category_id, after_id, batch),
+            ).fetchall()
+        return [(r[0], bytes(r[1]), r[2]) for r in rows]
+
     def iter_embeddings(
         self, category_id: int, batch: int = 1000
     ) -> Iterator[list[tuple[int, bytes, int]]]:
@@ -373,17 +387,11 @@ class Store:
         batches (reference: dnc/dnc.go:91-114 streams the same way)."""
         last = 0
         while True:
-            with self._lock:
-                rows = self._conn.execute(
-                    "SELECT e.id, e.vector, e.document_id FROM embeddings e "
-                    "JOIN documents d ON d.id = e.document_id "
-                    "WHERE d.category_id=? AND e.id>? ORDER BY e.id LIMIT ?",
-                    (category_id, last, batch),
-                ).fetchall()
+            rows = self.embeddings_page(category_id, last, batch)
             if not rows:
                 return
             last = rows[-1][0]
-            yield [(r[0], bytes(r[1]), r[2]) for r in rows]
+            yield rows
 
     def embeddings_for_documents(self, doc_ids: list[int]) -> list[int]:
         if not doc_ids:

@@ -1,0 +1,198 @@
+"""Cross-host shared store: the SQLite store served over HTTP.
+
+The reference coordinates multiple instances through a shared PostgreSQL
+server — read/write-split DSNs (database/database.go:86-103) and the
+`SHARE NOWAIT` row lock that arbitrates centroid rebuilds across hosts
+(server/centroids.go:33-52). This image has no Postgres driver and no
+network egress to fetch one, so the same contract is provided by serving
+the store itself: one process runs a `StoreServer` (the durable home of
+the SQLite file), every other instance — on any host — mounts it with
+`RemoteStore`, which exposes the exact `Store` API over a tiny JSON RPC.
+
+What this preserves, cross-host:
+  * one durable source of truth (uploads/deletes from any instance land
+    in one database, AUTOINCREMENT ids stay globally monotonic — the
+    max-id divergence signal keeps working),
+  * the build-lock contract (try_acquire_build_lock is a single
+    server-side transaction: at most one instance rebuilds a category,
+    stale locks expire — the SHARE NOWAIT analogue),
+  * sync_with_store semantics unchanged (the engine never knows which
+    store it holds).
+
+Wire format: POST /rpc {"method", "args", "kwargs"} -> {"result"} |
+{"error", "type"}. bytes travel base64, int-keyed dicts as pair lists,
+row dataclasses by name. Only Store's public methods are callable.
+"""
+from __future__ import annotations
+
+import base64
+import json
+import threading
+import urllib.request
+from dataclasses import asdict, is_dataclass
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Iterator
+
+from . import db as dbmod
+from .db import Store
+
+_ROW_TYPES = {
+    "OwnerRow": dbmod.OwnerRow,
+    "CategoryRow": dbmod.CategoryRow,
+    "CentroidRow": dbmod.CentroidRow,
+    "DocumentRow": dbmod.DocumentRow,
+}
+
+# Store's public API (and the only methods the server will dispatch).
+STORE_METHODS = frozenset(
+    name
+    for name in dir(Store)
+    if not name.startswith("_")
+    and callable(getattr(Store, name))
+    and name not in ("close", "iter_embeddings")
+)
+
+
+def _encode(v: Any) -> Any:
+    if isinstance(v, bytes):
+        return {"__b64__": base64.b64encode(v).decode("ascii")}
+    if is_dataclass(v) and type(v).__name__ in _ROW_TYPES:
+        return {"__row__": type(v).__name__, "f": _encode(asdict(v))}
+    if isinstance(v, dict):
+        # JSON would stringify int keys; keep them as pairs
+        return {"__dict__": [[_encode(k), _encode(x)] for k, x in v.items()]}
+    if isinstance(v, (list, tuple)):
+        return [_encode(x) for x in v]
+    return v
+
+
+def _decode(v: Any) -> Any:
+    if isinstance(v, dict):
+        if "__b64__" in v:
+            return base64.b64decode(v["__b64__"])
+        if "__row__" in v:
+            return _ROW_TYPES[v["__row__"]](**_decode(v["f"]))
+        if "__dict__" in v:
+            return {_decode(k): _decode(x) for k, x in v["__dict__"]}
+        return {k: _decode(x) for k, x in v.items()}
+    if isinstance(v, list):
+        return [_decode(x) for x in v]
+    return v
+
+
+class StoreServer:
+    """Serves a local Store over HTTP (the durable-store leader)."""
+
+    def __init__(self, store: Store, host: str = "127.0.0.1", port: int = 0):
+        self.store = store
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet; engine logs suffice
+                pass
+
+            def do_POST(self):
+                if self.path != "/rpc":
+                    self.send_error(404)
+                    return
+                try:
+                    body = self.rfile.read(
+                        int(self.headers.get("Content-Length", 0))
+                    )
+                    req = json.loads(body)
+                    method = req["method"]
+                    if method not in STORE_METHODS:
+                        raise AttributeError(f"no such store method: {method}")
+                    fn = getattr(outer.store, method)
+                    result = fn(
+                        *_decode(req.get("args", [])),
+                        **_decode(req.get("kwargs", {})),
+                    )
+                    payload = json.dumps({"result": _encode(result)})
+                    code = 200
+                except Exception as e:  # propagate as typed error
+                    payload = json.dumps(
+                        {"error": str(e), "type": type(e).__name__}
+                    )
+                    code = 500
+                raw = payload.encode("utf-8")
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(raw)))
+                self.end_headers()
+                self.wfile.write(raw)
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        self.address = f"http://{host}:{self._httpd.server_address[1]}"
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True
+        )
+
+    def start(self) -> "StoreServer":
+        self._thread.start()
+        return self
+
+    def close(self):
+        self._httpd.shutdown()
+        self._httpd.server_close()
+
+
+class RemoteStore:
+    """Store-API proxy over a StoreServer URL (drop-in for Store)."""
+
+    def __init__(self, url: str, timeout: float = 30.0):
+        self.url = url.rstrip("/")
+        self.path = url  # parity with Store.path (logging)
+        self.timeout = timeout
+
+    def _call(self, method: str, *args, **kwargs):
+        body = json.dumps(
+            {
+                "method": method,
+                "args": _encode(list(args)),
+                "kwargs": _encode(kwargs),
+            }
+        ).encode("utf-8")
+        req = urllib.request.Request(
+            self.url + "/rpc",
+            data=body,
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                out = json.loads(resp.read())
+        except urllib.error.HTTPError as e:
+            out = json.loads(e.read())
+        if "error" in out:
+            import builtins
+
+            exc = getattr(builtins, out.get("type", ""), RuntimeError)
+            if not (isinstance(exc, type) and issubclass(exc, BaseException)):
+                exc = RuntimeError
+            raise exc(out["error"])
+        result = _decode(out["result"])
+        # JSON turns tuples into lists; restore the pair-tuple contracts
+        if method == "embeddings_page":
+            return [tuple(r) for r in result]
+        if method == "insert_documents_with_embeddings":
+            return tuple(result)
+        return result
+
+    def __getattr__(self, name: str):
+        if name in STORE_METHODS:
+            return lambda *a, **kw: self._call(name, *a, **kw)
+        raise AttributeError(name)
+
+    def iter_embeddings(
+        self, category_id: int, batch: int = 1000
+    ) -> Iterator[list[tuple[int, bytes, int]]]:
+        last = 0
+        while True:
+            rows = self._call("embeddings_page", category_id, last, batch)
+            if not rows:
+                return
+            last = rows[-1][0]
+            yield rows
+
+    def close(self):
+        pass  # the server owns the connection
