@@ -154,7 +154,7 @@ def main():
         eng.stats()["categories"][cat.id]["spill"],
     )
 
-    # --- search sanity ---
+    # --- search sanity (sequential latency) ---
     t0 = time.perf_counter()
     for _ in range(20):
         hits = eng.search("scale", "corpus", "anything", count=10, centroids=8)
@@ -162,10 +162,53 @@ def main():
     log("scale-check: search latency %.1fms (tunnel incl.), hits=%d",
         search_s * 1e3, len(hits))
 
+    # --- engine-level QPS under concurrent load (VERDICT r1 weak#2):
+    # concurrent Engine.search calls coalesce through the query batcher
+    # into shared device dispatches; this measures the SERVING number the
+    # kernel bench can only upper-bound.
+    import threading
+
+    threads_n = int(os.environ.get("VSTPU_SCALE_THREADS", 64))
+    per_thread = int(os.environ.get("VSTPU_SCALE_REQS", 40))
+    base = eng.stats()["batcher"]
+    errors = []
+    start = threading.Barrier(threads_n)
+
+    def worker(i):
+        try:
+            start.wait(30)
+            for r in range(per_thread):
+                eng.search(
+                    "scale", "corpus", f"query {i} {r}", count=10, centroids=8
+                )
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    ts = [threading.Thread(target=worker, args=(i,)) for i in range(threads_n)]
+    t0 = time.perf_counter()
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    conc_s = time.perf_counter() - t0
+    assert not errors, errors[:1]
+    after = eng.stats()["batcher"]
+    total = threads_n * per_thread
+    dispatches = after["dispatches"] - base["dispatches"]
+    qps = total / conc_s
+    log(
+        "scale-check: concurrent %d threads x %d reqs: %.0f engine QPS "
+        "(%d device dispatches, mean batch %.1f)",
+        threads_n, per_thread, qps, dispatches,
+        total / max(1, dispatches),
+    )
+
     print(json.dumps({
         "n": N, "boot_s": round(boot_s, 1),
         "insert_docs_per_s": round(n_docs / insert_s, 1),
         "search_ms": round(search_s * 1e3, 1),
+        "engine_qps_concurrent": round(qps, 1),
+        "mean_device_batch": round(total / max(1, dispatches), 1),
     }))
     eng.close()
     store.close()

@@ -261,6 +261,7 @@ def build_app(engine: Engine) -> web.Application:
     index = static_handler("index.html", "text/html")
     api_docs = static_handler("api.html", "text/html")
     openapi = static_handler("openapi.yml", "text/yaml")
+    doctools = static_handler("doctools.js", "application/javascript")
 
     async def stats(request):
         loop = asyncio.get_running_loop()
@@ -274,6 +275,7 @@ def build_app(engine: Engine) -> web.Application:
         return web.json_response(data)
 
     app.router.add_get("/", index)
+    app.router.add_get("/doctools.js", doctools)
     app.router.add_get("/api", api_docs)
     app.router.add_get("/api/openapi.yml", openapi)
     app.router.add_get("/api/stats", stats)
