@@ -153,10 +153,22 @@ def main(argv: list[str]) -> int:
             cfg.database.sqlite,
         )
     mesh = None
-    if cfg.mesh.shard_serving:
-        from vectorsearch_tpu.parallel import default_mesh
+    if cfg.mesh.coordinator:
+        # multi-host: join the distributed runtime BEFORE first device use
+        # so jax.devices() is the global list (parallel/distributed.py)
+        from vectorsearch_tpu.parallel.distributed import maybe_initialize
 
-        mesh = default_mesh(cfg.mesh.devices or None)
+        maybe_initialize(
+            cfg.mesh.coordinator, cfg.mesh.num_processes, cfg.mesh.process_id
+        )
+        sugar().info(
+            "distributed runtime: process %d/%d via %s",
+            cfg.mesh.process_id, cfg.mesh.num_processes, cfg.mesh.coordinator,
+        )
+    if cfg.mesh.shard_serving:
+        from vectorsearch_tpu.parallel.distributed import global_mesh
+
+        mesh = global_mesh(cfg.mesh.devices or None)
         sugar().info("sharded serving over %d devices", mesh.devices.size)
 
     store_server = None

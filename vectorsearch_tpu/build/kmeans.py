@@ -231,11 +231,13 @@ def _device_put_tiles(tiles, valid, prev, mesh: Mesh | None, axis: str = "data")
             jnp.asarray(valid),
             jnp.asarray(prev),
         )
+    from ..parallel.distributed import put_sharded
+
     sh = NamedSharding(mesh, P(axis))
     return (
-        PackedVectors(*[jax.device_put(np.asarray(a), sh) for a in tiles]),
-        jax.device_put(valid, sh),
-        jax.device_put(prev, sh),
+        PackedVectors(*[put_sharded(np.asarray(a), sh) for a in tiles]),
+        put_sharded(valid, sh),
+        put_sharded(prev, sh),
     )
 
 

@@ -175,10 +175,18 @@ class ServerConfig:
 
 @dataclass
 class MeshConfig:
-    """TPU-native addition: device mesh for sharded serving/builds."""
+    """TPU-native addition: device mesh for sharded serving/builds.
 
-    devices: int = 0  # 0 = all local devices
+    Multi-host: set `coordinator` ("host0:port"), `num_processes`, and
+    `process_id` on every instance; jax.distributed.initialize runs before
+    first device use and the mesh then spans every host's chips
+    (parallel/distributed.py, SURVEY.md §2.8 last row)."""
+
+    devices: int = 0  # 0 = all (global, after distributed init) devices
     shard_serving: bool = False  # shard the serving index over the mesh
+    coordinator: str = ""  # "" = single-host (no distributed runtime)
+    num_processes: int = 1
+    process_id: int = 0
 
     @staticmethod
     def parse(d: dict | None) -> "MeshConfig":
@@ -186,10 +194,19 @@ class MeshConfig:
         return MeshConfig(
             devices=int(d.get("devices", 0)),
             shard_serving=bool(d.get("shard_serving", False)),
+            coordinator=d.get("coordinator", ""),
+            num_processes=int(d.get("num_processes", 1)),
+            process_id=int(d.get("process_id", 0)),
         )
 
     def to_dict(self) -> dict:
-        return {"devices": self.devices, "shard_serving": self.shard_serving}
+        return {
+            "devices": self.devices,
+            "shard_serving": self.shard_serving,
+            "coordinator": self.coordinator,
+            "num_processes": self.num_processes,
+            "process_id": self.process_id,
+        }
 
 
 @dataclass

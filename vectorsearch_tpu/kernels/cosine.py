@@ -32,7 +32,10 @@ import jax.numpy as jnp
 
 from ..quant.layout import PackedVectors
 
-NEG_INF = jnp.float32(-jnp.inf)
+# plain float, NOT jnp.float32(...): creating a device scalar at import
+# would initialize the XLA backend, which breaks
+# jax.distributed.initialize (it must run before first device use)
+NEG_INF = float("-inf")
 
 
 def l2_normalize(x: jax.Array, axis: int = -1) -> jax.Array:

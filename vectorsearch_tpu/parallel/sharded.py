@@ -26,6 +26,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..index.ivf import _scan_probed, bucket_capacity
 from ..kernels import cosine
 from ..quant.layout import PackedVectors
+from .distributed import put_sharded
 from .mesh import DATA_AXIS, row_sharding
 
 _PV_SHARDED = PackedVectors(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS))
@@ -166,12 +167,12 @@ class ShardedFlat:
         total = rows * n_dev
         padded = _pad_rows(host_packed, total)
         sh = row_sharding(mesh)
-        packed = PackedVectors(*[jax.device_put(a, sh) for a in padded])
+        packed = PackedVectors(*[put_sharded(a, sh) for a in padded])
         n_local = np.clip(n - rows * np.arange(n_dev), 0, rows).astype(np.int32)
         return ShardedFlat(
             mesh=mesh,
             packed=packed,
-            n_local=jax.device_put(n_local, sh),
+            n_local=put_sharded(n_local, sh),
             ids=np.pad(np.asarray(ids, np.int64), (0, total - n)),
             rows_per_shard=rows,
             n=n,
@@ -250,10 +251,10 @@ class ShardedIVF:
 
         sh = row_sharding(mesh)
         buckets = PackedVectors(
-            codes=jax.device_put(scatter(host_packed.codes), sh),
-            scale=jax.device_put(scatter(host_packed.scale), sh),
-            offset=jax.device_put(scatter(host_packed.offset), sh),
-            inv_norm=jax.device_put(scatter(host_packed.inv_norm), sh),
+            codes=put_sharded(scatter(host_packed.codes), sh),
+            scale=put_sharded(scatter(host_packed.scale), sh),
+            offset=put_sharded(scatter(host_packed.offset), sh),
+            inv_norm=put_sharded(scatter(host_packed.inv_norm), sh),
         )
         mask = np.zeros((k_pad, cap), np.bool_)
         mask[sorted_cid, slot] = True
@@ -267,10 +268,10 @@ class ShardedIVF:
         # contribute only -inf-masked candidates (count 0).
         return ShardedIVF(
             mesh=mesh,
-            centroids_n=jax.device_put(cents_n, sh),
+            centroids_n=put_sharded(cents_n, sh),
             buckets=buckets,
-            bucket_mask=jax.device_put(mask, sh),
-            counts=jax.device_put(counts, sh),
+            bucket_mask=put_sharded(mask, sh),
+            counts=put_sharded(counts, sh),
             ids=id_grid,
             clusters_per_shard=k_per,
             k_clusters=kk,
