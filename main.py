@@ -93,26 +93,32 @@ async def serve(cfg: config_mod.Config, engine: Engine):
 
     http_host, http_port = _addr(cfg.server.http_address)
     sites = [web.TCPSite(runner, http_host, http_port)]
+    for site in sites:
+        await site.start()
 
     tls = None
+    tls_server = None
     if cfg.server.https_address:
         try:
+            from vectorsearch_tpu.api.h2 import serve_tls_mux
+
             tls = TLSManager(cfg.tls)
             tls.start()
             https_host, https_port = _addr(cfg.server.https_address)
-            sites.append(
-                web.TCPSite(runner, https_host, https_port, ssl_context=tls.context())
+            # h2 + http/1.1 over one TLS port (reference main.go:104-115);
+            # both ALPN branches serve the same app via the plaintext
+            # listener (api/h2.py)
+            tls_server = await serve_tls_mux(
+                https_host, https_port, tls.context(),
+                (http_host or "127.0.0.1", http_port),
             )
         except Exception as e:
             sugar().error("HTTPS disabled: %s", e)
             tls = None
-
-    for site in sites:
-        await site.start()
     sugar().info(
         "listening on http %s%s",
         cfg.server.http_address,
-        f" / https {cfg.server.https_address}" if tls else "",
+        f" / https {cfg.server.https_address} (h2, http/1.1)" if tls else "",
     )
 
     stop = asyncio.Event()
@@ -121,6 +127,10 @@ async def serve(cfg: config_mod.Config, engine: Engine):
         loop.add_signal_handler(sig, stop.set)
     await stop.wait()
     sugar().info("shutting down")
+    if tls_server is not None:
+        tls_server.close()
+        await tls_server.wait_closed()
+        await tls_server._vstpu_session.close()
     await runner.cleanup()
     if tls:
         tls.close()

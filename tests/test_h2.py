@@ -1,0 +1,165 @@
+"""HTTP/2 TLS listener (api/h2.py) driven by a REAL h2 client: the
+system curl (nghttp2-backed), which huffman-encodes headers and runs the
+full preface/SETTINGS/flow-control handshake — an authoritative
+interoperability check for the hand-rolled framing + ctypes HPACK."""
+import asyncio
+import json
+import socket
+import subprocess
+import threading
+
+import pytest
+
+from vectorsearch_tpu.api.h2 import hpack_available
+from vectorsearch_tpu.engine import Engine, EngineCache
+from vectorsearch_tpu.store import Store
+
+from test_engine import WordHashAI
+
+pytestmark = pytest.mark.skipif(
+    not hpack_available(), reason="libnghttp2 not present"
+)
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+@pytest.fixture(scope="module")
+def h2_server():
+    from aiohttp import web
+
+    from vectorsearch_tpu.api import TLSManager, build_app
+    from vectorsearch_tpu.api.h2 import serve_tls_mux
+    from vectorsearch_tpu.config import TLSConfig
+
+    store = Store(":memory:")
+    engine = Engine(store, WordHashAI(), cache=EngineCache(ttl=60.0))
+    engine.upload(
+        "o", "c",
+        [{"name": "a", "document": {"text": "alpha particle physics"}},
+         {"name": "b", "document": {"text": "bravo marching band"}}],
+    )
+    http_port, tls_port = _free_port(), _free_port()
+    loop = asyncio.new_event_loop()
+    ready = threading.Event()
+    state = {}
+
+    async def boot():
+        app = build_app(engine)
+        runner = web.AppRunner(app, auto_decompress=False)
+        await runner.setup()
+        site = web.TCPSite(runner, "127.0.0.1", http_port)
+        await site.start()
+        tls = TLSManager(TLSConfig())
+        server = await serve_tls_mux(
+            "127.0.0.1", tls_port, tls.context(), ("127.0.0.1", http_port)
+        )
+        state.update(runner=runner, server=server, tls=tls)
+        ready.set()
+
+    def run():
+        asyncio.set_event_loop(loop)
+        loop.run_until_complete(boot())
+        loop.run_forever()
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    assert ready.wait(30)
+    yield f"https://127.0.0.1:{tls_port}"
+
+    async def shutdown():
+        state["server"].close()
+        await state["server"].wait_closed()
+        await state["server"]._vstpu_session.close()
+        await state["runner"].cleanup()
+
+    asyncio.run_coroutine_threadsafe(shutdown(), loop).result(timeout=10)
+    loop.call_soon_threadsafe(loop.stop)
+    t.join(timeout=10)
+    engine.close()
+    store.close()
+
+
+def _curl(url, *args, timeout=30):
+    out = subprocess.run(
+        ["curl", "-sk", "-w", "\n%{http_version} %{http_code}", *args, url],
+        capture_output=True, text=True, timeout=timeout,
+    )
+    assert out.returncode == 0, out.stderr
+    body, _, tail = out.stdout.rpartition("\n")
+    version, code = tail.split()
+    return body, version, int(code)
+
+
+def test_h2_search_roundtrip(h2_server):
+    body, version, code = _curl(
+        h2_server + "/api/search", "--http2",
+        "-X", "POST",
+        "-d", '{"owner":"o","category":"c","text":"alpha particle","count":1,"centroids":-1}',
+    )
+    assert version == "2" and code == 200
+    docs = json.loads(body)["documents"]
+    assert docs and docs[0]["name"] == "a"
+
+
+def test_h2_upload_then_search(h2_server):
+    body, version, code = _curl(
+        h2_server + "/api/upload", "--http2",
+        "-X", "POST",
+        "-d", '{"owner":"o","category":"c","documents":[{"name":"h2doc","document":{"text":"zulu quantum leap"}}]}',
+    )
+    assert version == "2" and code == 200
+    assert json.loads(body)["document_ids"]
+    body, version, code = _curl(
+        h2_server + "/api/search", "--http2",
+        "-X", "POST",
+        "-d", '{"owner":"o","category":"c","text":"zulu quantum leap","count":1,"centroids":-1}',
+    )
+    assert version == "2"
+    assert json.loads(body)["documents"][0]["name"] == "h2doc"
+
+
+def test_h2_wasm_headers_and_static(h2_server):
+    out = subprocess.run(
+        ["curl", "-sk", "--http2", "-D-", "-o", "/dev/null", h2_server + "/"],
+        capture_output=True, text=True, timeout=30,
+    )
+    head = out.stdout.lower()
+    assert "http/2 200" in head
+    assert "cross-origin-opener-policy: same-origin" in head
+
+
+def test_h2_chat_stream(h2_server):
+    body, version, code = _curl(
+        h2_server + "/api/chat", "--http2",
+        "-X", "POST", "-d", '{"text":"hello"}',
+    )
+    assert version == "2" and code == 200
+    assert body  # WordHashAI streams a reply
+
+
+def test_http11_pipe_still_serves(h2_server):
+    body, version, code = _curl(
+        h2_server + "/api/categories", "--http1.1",
+        "-X", "POST", "-d", '{"owner":"o"}',
+    )
+    assert version == "1.1" and code == 200
+    assert json.loads(body) == {"category_names": ["c"]}
+
+
+def test_h2_concurrent_streams(h2_server):
+    import concurrent.futures as cf
+
+    def one(i):
+        body, version, code = _curl(
+            h2_server + "/api/search", "--http2",
+            "-X", "POST",
+            "-d", '{"owner":"o","category":"c","text":"bravo marching","count":1,"centroids":-1}',
+        )
+        return version == "2" and code == 200 and json.loads(body)["documents"][0]["name"] == "b"
+
+    with cf.ThreadPoolExecutor(8) as ex:
+        assert all(ex.map(one, range(16)))

@@ -114,6 +114,17 @@ class TLSManager:
             with open(key_path, "wb") as f:
                 f.write(key_pem)
             ctx.load_cert_chain(cert_path, key_path)
+        # advertise h2 ahead of http/1.1 (reference: main.go:111 NextProtos);
+        # the TLS listener ALPN-muxes in api/h2.py
+        try:
+            from .h2 import hpack_available
+
+            if hpack_available():
+                ctx.set_alpn_protocols(["h2", "http/1.1"])
+            else:  # pragma: no cover - libnghttp2 is present in this image
+                ctx.set_alpn_protocols(["http/1.1"])
+        except Exception:
+            pass
         return ctx
 
     def reload(self):
