@@ -40,24 +40,44 @@ def main():
     centers = rng.standard_normal((K, DIM), dtype=np.float32)
 
     t0 = time.perf_counter()
-    chunk_rows = 500_000
-    # preallocate: a parts list + concatenate would double peak host RSS
-    packed = PackedVectors(
-        codes=np.empty((N, DIM), np.int8),
-        scale=np.empty(N, np.float32),
-        offset=np.empty(N, np.float32),
-        inv_norm=np.empty(N, np.float32),
+    cache = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".cache", f"build-corpus-{N}.npz",
     )
-    for start in range(0, N, chunk_rows):
-        m = min(chunk_rows, N - start)
-        block = centers[rng.integers(0, K, size=m)] * np.float32(2.0)
-        block += rng.standard_normal((m, DIM), dtype=np.float32)
-        part = layout.pack_float(block)
-        packed.codes[start : start + m] = part.codes
-        packed.scale[start : start + m] = part.scale
-        packed.offset[start : start + m] = part.offset
-        packed.inv_norm[start : start + m] = part.inv_norm
-    log("build-bench: generated+packed %dx%d in %.1fs", N, DIM, time.perf_counter() - t0)
+    if os.path.exists(cache):
+        z = np.load(cache)
+        packed = PackedVectors(
+            codes=z["codes"], scale=z["scale"],
+            offset=z["offset"], inv_norm=z["inv_norm"],
+        )
+        log("build-bench: loaded cached packed corpus %s", cache)
+    else:
+        chunk_rows = 500_000
+        # preallocate: a parts list + concatenate would double peak host RSS
+        packed = PackedVectors(
+            codes=np.empty((N, DIM), np.int8),
+            scale=np.empty(N, np.float32),
+            offset=np.empty(N, np.float32),
+            inv_norm=np.empty(N, np.float32),
+        )
+        for start in range(0, N, chunk_rows):
+            m = min(chunk_rows, N - start)
+            block = centers[rng.integers(0, K, size=m)] * np.float32(2.0)
+            block += rng.standard_normal((m, DIM), dtype=np.float32)
+            part = layout.pack_float(block)
+            packed.codes[start : start + m] = part.codes
+            packed.scale[start : start + m] = part.scale
+            packed.offset[start : start + m] = part.offset
+            packed.inv_norm[start : start + m] = part.inv_norm
+        os.makedirs(os.path.dirname(cache), exist_ok=True)
+        np.savez(
+            cache, codes=packed.codes, scale=packed.scale,
+            offset=packed.offset, inv_norm=packed.inv_norm,
+        )
+        log(
+            "build-bench: generated+packed %dx%d in %.1fs (cached -> %s)",
+            N, DIM, time.perf_counter() - t0, cache,
+        )
 
     t0 = time.perf_counter()
     result = build_centroids(

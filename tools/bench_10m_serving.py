@@ -1,0 +1,225 @@
+"""BASELINE config 5 at full scale: 10M x 768 serving QPS/recall on one
+chip (VERDICT r1 next-step #8 — bench.py stops at 1M).
+
+Reuses the packed corpus cached by bench_build.py, caches centroids and
+the exact-f32 ground truth, builds the IVF index with headroom=1.0
+(uniform bucket padding at the 25% insert headroom would exceed the
+16 GB HBM at this scale; streaming inserts still work via the spill
+tail), and measures the exact serving program (_scan_refined) plus the
+flat path for comparison.
+
+Queries are dequantized corpus rows + noise; ground truth is exact-f32
+cosine over the ORIGINAL corpus (regenerated slab-by-slab with the same
+seed as bench_build), so recall is charged for corpus quantization like
+BASELINE configs 2/5 demand.
+
+    python tools/bench_10m_serving.py        # needs bench_build's corpus cache
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from vectorsearch_tpu.utils import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
+
+N = int(os.environ.get("VSTPU_SERVE10M_N", 10_000_000))
+DIM = 768
+K = 4096
+N_QUERIES = 512
+TOPK = 10
+CACHE_DIR = os.path.join(os.path.dirname(__file__), "..", ".cache")
+CORPUS = os.path.join(CACHE_DIR, f"build-corpus-{N}.npz")
+CENTS = os.path.join(CACHE_DIR, f"serve{N}-cents.npz")
+TRUTH = os.path.join(CACHE_DIR, f"serve{N}-truth.npz")
+
+
+def log(msg, *args):
+    print(msg % args if args else msg, file=sys.stderr, flush=True)
+
+
+def regen_slabs(chunk_rows=500_000):
+    """Replay bench_build.py's generator exactly (seed 0)."""
+    rng = np.random.default_rng(0)
+    centers = rng.standard_normal((K, DIM), dtype=np.float32)
+    for start in range(0, N, chunk_rows):
+        m = min(chunk_rows, N - start)
+        block = centers[rng.integers(0, K, size=m)] * np.float32(2.0)
+        block += rng.standard_normal((m, DIM), dtype=np.float32)
+        yield start, block
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from vectorsearch_tpu.build import build_centroids
+    from vectorsearch_tpu.index import IVFIndex
+    from vectorsearch_tpu.index.ivf import _scan_refined
+    from vectorsearch_tpu.kernels import cosine
+    from vectorsearch_tpu.quant.layout import PackedVectors
+
+    if not os.path.exists(CORPUS):
+        log("run bench_build.py first (it caches the packed corpus)")
+        return 1
+    z = np.load(CORPUS)
+    packed = PackedVectors(
+        codes=z["codes"], scale=z["scale"], offset=z["offset"],
+        inv_norm=z["inv_norm"],
+    )
+    log("serve10m: loaded packed corpus %s", CORPUS)
+
+    # ---- queries: dequantized corpus rows + noise ----
+    rng = np.random.default_rng(123)
+    q_idx = np.sort(rng.choice(N, size=N_QUERIES, replace=False))
+    base = (
+        packed.offset[q_idx, None]
+        + packed.scale[q_idx, None] * packed.codes[q_idx].astype(np.float32)
+    )
+    queries = base + rng.normal(size=(N_QUERIES, DIM)).astype(np.float32) * 0.1
+
+    # ---- centroids (cached) ----
+    if os.path.exists(CENTS):
+        cz = np.load(CENTS)
+        centroids, assignments = cz["centroids"], cz["assignments"]
+        log("serve10m: loaded cached centroids (%d)", len(centroids))
+    else:
+        t0 = time.perf_counter()
+        result = build_centroids(
+            packed, k=K,
+            min_cluster_size=max(1, (N // K) // 10),
+            max_iters=8, superset_iters=3, chunk=65_536,
+            balance_rounds=3,
+        )
+        centroids, assignments = result.centroids, result.assignments
+        log(
+            "serve10m: built %d centroids in %.1fs (max/mean %d/%d)",
+            len(centroids), time.perf_counter() - t0,
+            int(result.counts.max()), int(result.counts.mean()),
+        )
+        np.savez(CENTS, centroids=centroids, assignments=assignments)
+
+    # ---- exact f32 ground truth over the ORIGINAL corpus (cached) ----
+    if os.path.exists(TRUTH):
+        truth = np.load(TRUTH)["truth"]
+        log("serve10m: loaded cached ground truth")
+    else:
+        t0 = time.perf_counter()
+        qn = queries / np.linalg.norm(queries, axis=-1, keepdims=True)
+        q_dev = jnp.asarray(qn)
+
+        @jax.jit
+        def slab_scores(q, slab):
+            sn = slab / jnp.linalg.norm(slab, axis=-1, keepdims=True)
+            s = jnp.dot(
+                q, sn.T,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            return jax.lax.top_k(s, TOPK)
+
+        best_s = np.full((N_QUERIES, TOPK), -np.inf, np.float32)
+        best_i = np.zeros((N_QUERIES, TOPK), np.int64)
+        for start, block in regen_slabs():
+            s, i = jax.device_get(slab_scores(q_dev, jnp.asarray(block)))
+            i = i.astype(np.int64) + start
+            cat_s = np.concatenate([best_s, s], axis=1)
+            cat_i = np.concatenate([best_i, i], axis=1)
+            take = np.argsort(-cat_s, axis=1)[:, :TOPK]
+            best_s = np.take_along_axis(cat_s, take, axis=1)
+            best_i = np.take_along_axis(cat_i, take, axis=1)
+            log("serve10m: truth slab %d done (%.0fs)", start, time.perf_counter() - t0)
+        truth = best_i
+        np.savez(TRUTH, truth=truth)
+        log("serve10m: ground truth in %.1fs", time.perf_counter() - t0)
+
+    # ---- IVF index (read-only headroom) ----
+    t0 = time.perf_counter()
+    ids = np.arange(1, N + 1, dtype=np.int64)
+    ivf = IVFIndex.build(
+        packed, ids, centroids, assignments=assignments, headroom=1.0
+    )
+    hbm_gb = ivf.k_clusters * ivf.cap * DIM / 1e9
+    log(
+        "serve10m: bucket pack %.1fs (K=%d cap=%d, codes %.1f GB HBM)",
+        time.perf_counter() - t0, ivf.k_clusters, ivf.cap, hbm_gb,
+    )
+    flat_ids = ivf.ids.reshape(-1)
+    use_pallas = jax.default_backend() == "tpu" and os.environ.get("VSTPU_NO_PALLAS") != "1"
+
+    results = []
+
+    def measure(label, fn, batch, id_map):
+        got = np.empty((N_QUERIES, TOPK), np.int64)
+        for i in range(0, N_QUERIES, batch):
+            _, idx = fn(jnp.asarray(queries[i : i + batch]))
+            got[i : i + batch] = id_map(np.asarray(idx)[: min(batch, N_QUERIES - i)])
+        recall = np.mean([
+            len(set(got[i]) & set(ids[truth[i]])) / TOPK
+            for i in range(N_QUERIES)
+        ])
+        q_dev = jnp.asarray(np.resize(queries, (batch, DIM)))
+        fn(q_dev)[0].block_until_ready()
+        rounds = 10
+        t0 = time.perf_counter()
+        last = None
+        for _ in range(rounds):
+            last = fn(q_dev)
+        last[0].block_until_ready()
+        qps = batch * rounds / (time.perf_counter() - t0)
+        log("serve10m: %s recall@10=%.4f qps/chip=%.0f (batch %d)",
+            label, recall, qps, batch)
+        results.append((label, qps, recall))
+
+    for nprobe, batch in ((1, 512), (8, 512), (64, 128)):
+        try:
+            measure(
+                f"ivf+refine nprobe={nprobe}",
+                lambda q, np_=nprobe: _scan_refined(
+                    q, ivf.centroids_n, ivf.buckets, ivf.counts_dev,
+                    ivf.bucket_mask, nprobe=np_, k_coarse=32, k=TOPK,
+                    use_pallas=use_pallas,
+                ),
+                batch,
+                lambda idx: flat_ids[np.clip(idx, 0, flat_ids.size - 1)],
+            )
+        except Exception as e:
+            log("serve10m: nprobe=%d failed: %s", nprobe, e)
+
+    # flat comparison (where flat stops being viable at scale)
+    packed_dev = PackedVectors(*[jnp.asarray(a) for a in packed])
+    try:
+        measure(
+            "flat approx B=512",
+            lambda q: cosine.scan_topk(
+                q, packed_dev, jnp.int32(N), k=TOPK, chunk=131_072, approx=True
+            ),
+            512,
+            lambda idx: ids[np.clip(idx, 0, N - 1)],
+        )
+    except Exception as e:
+        log("serve10m: flat failed: %s", e)
+
+    eligible = [r for r in results if r[2] >= 0.9] or results
+    label, qps, recall = max(eligible, key=lambda r: r[1])
+    print(json.dumps({
+        "metric": f"QPS/chip at recall@10, {N}x{DIM} int8 IVF serving ({label}, recall={recall:.4f})",
+        "value": round(qps, 1),
+        "unit": "qps",
+        "rows": [
+            {"label": l, "qps": round(q, 1), "recall": round(r, 4)}
+            for l, q, r in results
+        ],
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -37,9 +37,13 @@ from ..quant.layout import PackedVectors
 from .flat import FlatIndex, round_capacity
 
 
-def bucket_capacity(max_count: int) -> int:
-    """Uniform bucket capacity: 25% headroom, rounded to constants.BUCKET_ROUND."""
-    need = max(1, int(max_count * 1.25))
+def bucket_capacity(max_count: int, headroom: float = 1.25) -> int:
+    """Uniform bucket capacity rounded to constants.BUCKET_ROUND.
+
+    Default 25% headroom for streaming inserts; read-heavy deployments at
+    HBM-limit scale (10M x 768 on one 16 GB chip) pass headroom=1.0 —
+    overflow inserts still work via the spill tail."""
+    need = max(1, int(max_count * headroom))
     return ((need + constants.BUCKET_ROUND - 1) // constants.BUCKET_ROUND) * constants.BUCKET_ROUND
 
 
@@ -242,6 +246,7 @@ class IVFIndex:
         centroids: np.ndarray,
         assignments: np.ndarray | None = None,
         assign_chunk: int = 65_536,
+        headroom: float = 1.25,
     ) -> "IVFIndex":
         """Build buckets from a full corpus + centroids (rebuild path).
 
@@ -258,7 +263,7 @@ class IVFIndex:
         assignments = np.asarray(assignments, np.int32)
 
         counts = np.bincount(assignments, minlength=kk).astype(np.int32)
-        cap = bucket_capacity(int(counts.max()) if n else 1)
+        cap = bucket_capacity(int(counts.max()) if n else 1, headroom)
 
         order = np.argsort(assignments, kind="stable")
         sorted_cid = assignments[order]
