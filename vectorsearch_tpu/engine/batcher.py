@@ -36,11 +36,18 @@ import numpy as np
 from .. import constants
 
 
+# Batch size classes: each class is one compiled program per (snapshot
+# shape, k, nprobe); through the remote-compile tunnel every new shape
+# costs 30-120 s, so classes are sparse — {1, 8, 64, max} — and
+# Engine.warmup precompiles the small ones.
+BATCH_CLASSES = (1, 8, 64)
+
+
 def _pad_class(m: int, cap: int) -> int:
-    n = 1
-    while n < m:
-        n *= 2
-    return min(n, cap)
+    for c in BATCH_CLASSES:
+        if m <= c:
+            return min(c, cap)
+    return cap
 
 
 class _Batch:

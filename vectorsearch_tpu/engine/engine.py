@@ -678,12 +678,17 @@ class Engine:
             if ivf is None or ivf.n_live == 0:
                 continue
             try:
-                dummy = np.zeros((1, ivf.dim), np.float32)
-                dummy[0, 0] = 1.0
                 k = _k_class(10)  # the default request's shape class
-                ivf.search(dummy, k=k, nprobe=1, refine=k)
+                # precompile the small batch classes the query batcher pads
+                # to (engine/batcher.py BATCH_CLASSES); larger classes
+                # compile on first heavy load and persist in the jit cache
+                for b in (1, 8):
+                    dummy = np.zeros((b, ivf.dim), np.float32)
+                    dummy[:, 0] = 1.0
+                    ivf.search(dummy, k=k, nprobe=1, refine=k)
                 sugar().info(
-                    "warmed category %d (dim %d, k=%d)", st.category_id, ivf.dim, k
+                    "warmed category %d (dim %d, k=%d, batch 1+8)",
+                    st.category_id, ivf.dim, k,
                 )
             except Exception as e:
                 sugar().warning("warmup failed for %d: %s", st.category_id, e)
