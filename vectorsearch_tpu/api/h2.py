@@ -213,6 +213,7 @@ class H2Connection:
         self._hdr_stream: int | None = None  # CONTINUATION state
         self._hdr_frag = bytearray()
         self._hdr_end_stream = False
+        self._hdr_trailer = False
 
     async def _send(self, ftype: int, flags: int, sid: int, payload: bytes = b""):
         async with self._wlock:
@@ -265,7 +266,9 @@ class H2Connection:
                         st.window += delta
                         st.window_ev.set()
                 elif ident == SETTINGS_MAX_FRAME_SIZE:
-                    self.peer_max_frame = max(MAX_FRAME, min(value, 1 << 24 - 1))
+                    self.peer_max_frame = max(
+                        MAX_FRAME, min(value, (1 << 24) - 1)
+                    )
             await self._send(SETTINGS, FLAG_ACK, 0)
         elif ftype == WINDOW_UPDATE:
             (inc,) = struct.unpack("!I", payload)
@@ -286,8 +289,9 @@ class H2Connection:
                 frag = frag[5:]
             if pad:
                 frag = frag[:-pad]
-            st = _Stream(sid, self.peer_initial_window)
-            self.streams[sid] = st
+            self._hdr_trailer = sid in self.streams
+            if not self._hdr_trailer:
+                self.streams[sid] = _Stream(sid, self.peer_initial_window)
             self._hdr_stream = sid
             self._hdr_frag = bytearray(frag)
             self._hdr_end_stream = bool(flags & FLAG_END_STREAM)
@@ -337,8 +341,11 @@ class H2Connection:
     def _headers_done(self):
         sid = self._hdr_stream
         self._hdr_stream = None
+        decoded = self.hpack.decode(bytes(self._hdr_frag))
+        if self._hdr_trailer:
+            return  # trailers: HPACK state consumed, content ignored
         st = self.streams[sid]
-        st.headers = self.hpack.decode(bytes(self._hdr_frag))
+        st.headers = decoded
         if self._hdr_end_stream:
             st.end_stream = True
             self._dispatch(st)

@@ -334,15 +334,21 @@ def kmeans(
     if prepared is None:
         prepared = prepare_tiles(packed, chunk, mesh)
     k_super = min(k * max(1, superset_mul), n)
+    # The superset only seeds the init, so its K rounds DOWN to the pad
+    # class: at k=4096 the reference's 5x oversample gives k_super=20480,
+    # which pads to 32768 — 1.6x pure waste in the single most expensive
+    # build phase (instrumented at 10M: ~680 s of an 840 s build). 16384
+    # seeds (4x) cost half and seed k=4096 just as well.
+    cls = _k_pad_class(k_super)
+    if cls > k_super and cls // 2 > k:
+        k_super = cls // 2
     init = sample_init(packed, k_super, seed=seed)
     if k_super > k:
-        # The superset phase only seeds the init, so it runs on a SAMPLE
-        # (the reference k-means's a 50k sample too, dnc/dnc.go:320-324;
-        # it never sees the full corpus before the final reassignment).
-        # Full-corpus Lloyd's at k_super = 5x K was the single most
-        # expensive phase of the r1 10M build: 10M x 20480 dots per
-        # iteration, 25x the main phase's accumulate traffic.
-        sample_n = min(n, max(constants.SAMPLE_SIZE, 25 * k_super))
+        # The superset phase also runs on a SAMPLE (the reference
+        # k-means's a 50k sample too, dnc/dnc.go:320-324; it never sees
+        # the full corpus before the final reassignment). Full-corpus
+        # Lloyd's at 5x K was the other half of the r1 10M build cost.
+        sample_n = min(n, max(constants.SAMPLE_SIZE, 12 * k_super))
         if sample_n < n:
             rng = np.random.default_rng(seed + 1)
             pick = np.sort(rng.choice(n, size=sample_n, replace=False))
@@ -384,16 +390,27 @@ def build_centroids(
     reassign and recenter, then split oversized clusters (balance).
     Replaces dnc.KMeansDivideAndConquer (dnc/dnc.go:35-263 +
     dropSmallCentroids + recenterDbCentroid + the recursive size bound)."""
+    import time as _time
+
+    from ..logger import sugar
+
     n = np.shape(packed.codes)[0]
     if k is None:
         k = max(1, -(-n // target_cluster_size))
     if min_cluster_size is None:
         min_cluster_size = max(1, target_cluster_size // 10)
 
+    t0 = _time.perf_counter()
     prepared = prepare_tiles(packed, chunk, mesh)
+    t_prep = _time.perf_counter()
     result = kmeans(
         packed, k, max_iters=max_iters, chunk=chunk, mesh=mesh, seed=seed,
         superset_iters=superset_iters, prepared=prepared,
+    )
+    t_kmeans = _time.perf_counter()
+    sugar().info(
+        "build: prepare(upload) %.1fs, kmeans(superset+%d iters) %.1fs",
+        t_prep - t0, result.iterations, t_kmeans - t_prep,
     )
     if result.centroids.shape[0] <= 1:
         return result
@@ -411,6 +428,10 @@ def build_centroids(
             packed, result.centroids, max_iters=1, chunk=chunk, mesh=mesh,
             tol_changes=-1, prepared=prepared,
         )
+        sugar().info(
+            "build: drop-small (%d dropped) %.1fs",
+            int(small.sum()), _time.perf_counter() - t_kmeans,
+        )
 
     # Balance pass: split clusters larger than 2x the mean by running a
     # local k-means on their members — one level of the reference's
@@ -418,6 +439,7 @@ def build_centroids(
     # Skew directly sets the uniform bucket capacity (index/ivf.py), so a
     # tighter max cluster means less HBM padding and faster probes.
     for _ in range(balance_rounds):
+        t_round = _time.perf_counter()
         mean_count = max(1, int(result.counts.sum() // max(1, len(result.counts))))
         limit = 2 * mean_count
         oversized = np.nonzero(result.counts > limit)[0]
@@ -448,8 +470,13 @@ def build_centroids(
                 seed=seed + int(ci),
             )
             new_centroids.extend(list(sub_res.centroids))
+        t_subs = _time.perf_counter()
         result = lloyd(
             packed, np.stack(new_centroids), max_iters=2, chunk=chunk,
             mesh=mesh, tol_changes=-1, prepared=prepared,
+        )
+        sugar().info(
+            "build: balance round (%d split, subs %.1fs, reassign %.1fs)",
+            oversized.size, t_subs - t_round, _time.perf_counter() - t_subs,
         )
     return result

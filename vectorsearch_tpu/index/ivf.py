@@ -168,13 +168,19 @@ def _scan_refined(
     each eager op costs a full round trip through the remote-TPU tunnel;
     measured 123ms -> 15ms per 2M-corpus query)."""
     if use_pallas:
-        from ..kernels.pallas_scan import ivf_scan_pallas as scan_fn
+        from ..kernels.pallas_scan import ivf_scan_pallas
+
+        # approximate coarse top-k is safe here: the exact-f32 refine
+        # below re-ranks every candidate
+        scores, gslot = ivf_scan_pallas(
+            queries, centroids_n, buckets, counts, bucket_mask,
+            nprobe=nprobe, k=k_coarse, approx=True,
+        )
     else:
-        scan_fn = _ivf_scan
-    scores, gslot = scan_fn(
-        queries, centroids_n, buckets, counts, bucket_mask,
-        nprobe=nprobe, k=k_coarse,
-    )
+        scores, gslot = _ivf_scan(
+            queries, centroids_n, buckets, counts, bucket_mask,
+            nprobe=nprobe, k=k_coarse,
+        )
     d = buckets.codes.shape[-1]
     flat_view = PackedVectors(
         codes=buckets.codes.reshape(-1, d),

@@ -83,7 +83,9 @@ def _grouped_kernel(
     out_ref[0] = dots * a_ref[0] + qsum_ref[0] * bv_ref[0] + bias_ref[0]
 
 
-@functools.partial(jax.jit, static_argnames=("nprobe", "k", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("nprobe", "k", "interpret", "approx")
+)
 def ivf_scan_pallas(
     queries: jax.Array,
     centroids_n: jax.Array,
@@ -93,6 +95,7 @@ def ivf_scan_pallas(
     nprobe: int,
     k: int,
     interpret: bool = False,
+    approx: bool = False,
 ):
     """Drop-in replacement for index.ivf._ivf_scan (same signature/returns)."""
     b = queries.shape[0]
@@ -178,11 +181,18 @@ def ivf_scan_pallas(
         interpret=interpret,
     )(grp_cluster, qg, qsum_g, buckets.codes, a, bv, bias)
 
-    # ---- restore pair order, top-k over the union of probed buckets
+    # ---- restore pair order, top-k over the union of probed buckets.
+    # approx=True uses the TPU's native approximate top-k unit for the
+    # coarse reduction — safe when an exact refine re-ranks the
+    # candidates afterwards (_scan_refined), same trade the flat path
+    # makes (kernels/cosine.py scan_topk).
     pair_scores = out.reshape(g_max * qt, cap)[pair_slot]  # [P, cap]
     scores = pair_scores.reshape(b, nprobe * cap)
     k_eff = min(k, nprobe * cap)
-    best, pos = jax.lax.top_k(scores, k_eff)
+    if approx and k_eff * 8 <= nprobe * cap:
+        best, pos = jax.lax.approx_max_k(scores, k_eff)
+    else:
+        best, pos = jax.lax.top_k(scores, k_eff)
     cluster = jnp.take_along_axis(probed, pos // cap, axis=-1)
     gslot = cluster * cap + pos % cap
     if k_eff < k:
