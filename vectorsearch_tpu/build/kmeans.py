@@ -342,6 +342,11 @@ def kmeans(
     cls = _k_pad_class(k_super)
     if cls > k_super and cls // 2 > k:
         k_super = cls // 2
+    import time as _time
+
+    from ..logger import sugar
+
+    _t0 = _time.perf_counter()
     init = sample_init(packed, k_super, seed=seed)
     if k_super > k:
         # The superset phase also runs on a SAMPLE (the reference
@@ -368,6 +373,10 @@ def kmeans(
             )
         top = np.argsort(-phase1.counts, kind="stable")[:k]
         init = phase1.centroids[top]
+        sugar().info(
+            "build: superset %d seeds / %d-row sample: %.1fs",
+            k_super, min(sample_n, n), _time.perf_counter() - _t0,
+        )
     return lloyd(
         packed, init, max_iters=max_iters, chunk=chunk, mesh=mesh,
         prepared=prepared,
