@@ -339,9 +339,9 @@ def kmeans(
     # which pads to 32768 — 1.6x pure waste in the single most expensive
     # build phase (instrumented at 10M: ~680 s of an 840 s build). 16384
     # seeds (4x) cost half and seed k=4096 just as well.
-    cls = _k_pad_class(k_super)
-    if cls > k_super and cls // 2 > k:
-        k_super = cls // 2
+    half = _k_pad_class(k_super) // 2
+    if k < half < k_super:  # shrink only — never inflate a small superset
+        k_super = half
     import time as _time
 
     from ..logger import sugar
