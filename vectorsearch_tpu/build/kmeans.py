@@ -363,8 +363,16 @@ def kmeans(
                 offset=np.asarray(packed.offset)[pick],
                 inv_norm=np.asarray(packed.inv_norm)[pick],
             )
+            # Small chunk: the superset program's [chunk, k_super] f32
+            # intermediates must COEXIST with the full corpus tiles in
+            # HBM. At chunk=65536/k_super=16384 they need ~9 GB of
+            # scratch next to 7.8 GB of resident tiles, and the runtime
+            # defragments by paging buffers through the host — measured
+            # 536 s ONCE per process through the remote tunnel. chunk
+            # 8192 shrinks scratch ~8x and the phase runs at roofline.
             phase1 = lloyd(
-                sub, init, max_iters=superset_iters, chunk=chunk, mesh=mesh,
+                sub, init, max_iters=superset_iters,
+                chunk=min(chunk, 8_192), mesh=mesh,
             )
         else:
             phase1 = lloyd(
