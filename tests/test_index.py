@@ -124,6 +124,35 @@ class TestIVF:
         s, i = ivf2.search(new, k=1, nprobe=1)
         assert i[0, 0] == 9999
 
+    def test_bulk_insert_slot_allocation_is_dense_per_cluster(self):
+        """Vectorized grouped-cumcount slot allocation must match the
+        sequential contract: per cluster, new rows occupy consecutive slots
+        starting at the prior count, in batch order (ivf.py insert)."""
+        v, centers = make_clustered()
+        packed = layout.pack_float(v)
+        ids = np.arange(1, len(v) + 1, dtype=np.int64)
+        ivf = IVFIndex.build(packed, ids, centers)
+        base_counts = ivf.counts.copy()
+        rng = np.random.default_rng(7)
+        m = 97  # odd size, heavy duplicates across a few clusters
+        picks = rng.integers(0, len(centers), size=m)
+        new = (centers[picks] + rng.normal(size=(m, 64)) * 0.05).astype(
+            np.float32
+        )
+        new_ids = np.arange(50_000, 50_000 + m, dtype=np.int64)
+        cids = ivf.assign(layout.pack_float(new))
+        ivf2 = ivf.insert(layout.pack_float(new), new_ids, cids=cids)
+        # reference sequential allocation
+        counts = base_counts.astype(np.int64).copy()
+        for i in range(m):
+            c = cids[i]
+            if counts[c] < ivf.cap:
+                assert ivf2.ids[c, counts[c]] == new_ids[i]
+            counts[c] += 1
+        exp_counts = np.minimum(counts, ivf.cap)
+        assert (ivf2.counts == exp_counts).all()
+        assert ivf2.n_live == ivf.n_live + m
+
     def test_insert_overflow_goes_to_spill(self, monkeypatch):
         v, centers = make_clustered(n_per=10, k=2)
         packed = layout.pack_float(v)

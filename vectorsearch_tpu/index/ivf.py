@@ -402,12 +402,20 @@ class IVFIndex:
         cid = self.assign(new_host) if cids is None else np.asarray(cids, np.int64)
 
         # Host slot allocation: sequential slots per cluster, duplicates get
-        # consecutive positions.
-        counts = self.counts.copy()
+        # consecutive positions (vectorized grouped cumcount — no per-row
+        # Python loop, so bulk inserts cost O(m log m) not O(m) interpreter
+        # iterations).
+        counts = self.counts.copy().astype(np.int64)
+        order = np.argsort(cid, kind="stable")
+        sorted_cid = cid[order]
+        run_start = np.flatnonzero(
+            np.r_[True, sorted_cid[1:] != sorted_cid[:-1]]
+        )
+        run_len = np.diff(np.r_[run_start, m])
+        within = np.arange(m, dtype=np.int64) - np.repeat(run_start, run_len)
         slot = np.empty(m, np.int64)
-        for i in range(m):  # m is an upload batch (small)
-            slot[i] = counts[cid[i]]
-            counts[cid[i]] += 1
+        slot[order] = counts[sorted_cid] + within
+        counts[sorted_cid[run_start]] += run_len
         fits = slot < self.cap
 
         idx = self
