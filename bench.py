@@ -33,9 +33,10 @@ def log(msg, *args):
     print(msg % args if args else msg, file=sys.stderr, flush=True)
 
 
-from vectorsearch_tpu.utils import enable_compile_cache
+from vectorsearch_tpu.utils import enable_compile_cache, warm_device_transfer
 
 enable_compile_cache()
+warm_device_transfer()  # absorb the tunnel's first-D2H stall during corpus gen
 
 
 def make_corpus(n, dim, k, seed=0):

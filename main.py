@@ -20,9 +20,13 @@ from aiohttp import web
 # Persistent XLA compile cache (huge win through the remote-TPU tunnel;
 # harmless elsewhere). Must be set before the first device use.
 try:
-    from vectorsearch_tpu.utils import enable_compile_cache
+    from vectorsearch_tpu.utils import enable_compile_cache, warm_device_transfer
 
     enable_compile_cache()
+    # Absorb the tunnel's 130-424s first-D2H stall while the boot's
+    # host-only phases run (SQL streaming, wire packing). See
+    # utils/profiling.py warm_device_transfer.
+    warm_device_transfer()
 except Exception:
     pass
 

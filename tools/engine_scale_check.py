@@ -20,6 +20,14 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from vectorsearch_tpu.utils import (  # noqa: E402
+    enable_compile_cache,
+    warm_device_transfer,
+)
+
+enable_compile_cache()
+warm_device_transfer()  # absorb the tunnel's first-D2H stall during SQL populate
+
 N = int(os.environ.get("VSTPU_SCALE_N", 2_000_000))
 DIM = int(os.environ.get("VSTPU_SCALE_DIM", 768))
 K = max(1, N // 10_000)  # reference CENTROID_SIZE target

@@ -20,9 +20,13 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-from vectorsearch_tpu.utils import enable_compile_cache  # noqa: E402
+from vectorsearch_tpu.utils import (  # noqa: E402
+    enable_compile_cache,
+    warm_device_transfer,
+)
 
 enable_compile_cache()
+warm_device_transfer()  # absorb the tunnel's first-D2H stall during setup
 
 N = int(os.environ.get("VSTPU_PROBE_N", 1_000_000))
 DIM = 768

@@ -3,6 +3,7 @@ from .profiling import (
     device_trace,
     enable_compile_cache,
     timed,
+    warm_device_transfer,
 )
 
 __all__ = [
@@ -10,4 +11,5 @@ __all__ = [
     "device_trace",
     "enable_compile_cache",
     "timed",
+    "warm_device_transfer",
 ]

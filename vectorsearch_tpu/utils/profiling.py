@@ -30,6 +30,55 @@ def enable_compile_cache() -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
 
+_WARM_THREAD = None
+
+
+def warm_device_transfer() -> None:
+    """Absorb the per-process device->host warm-up stall in the background.
+
+    Measured on this environment's remote-TPU tunnel: the FIRST
+    synchronous device->host transfer of a process stalls 130-424 s (a
+    device_get of 8 floats took 424 s in a clean process), after which
+    transfers run at ~40 MB/s. Uploads, compiles and executions are
+    asynchronous journal writes and never hit it — but they QUEUE behind
+    an in-flight first D2H, so the stall cannot be hidden behind device
+    work, only behind HOST-ONLY work. (This stall is what r1/r2 build
+    instrumentation misattributed to HBM defragmentation.)
+
+    Call this as early as possible in an entry point, BEFORE any other
+    device use, then do host-side phases (corpus generation, SQL
+    streaming, wire packing): the daemon thread issues a 1-float
+    device_get immediately, and by the time the first real device op is
+    queued the stall is partially or fully consumed. Idempotent; no-op
+    on CPU backends (tests), where there is no tunnel.
+    """
+    global _WARM_THREAD
+    if _WARM_THREAD is not None:
+        return
+
+    import threading
+
+    def _warm():
+        try:
+            import jax
+            import jax.numpy as jnp
+
+            if jax.default_backend() == "cpu":
+                return
+            t0 = time.perf_counter()
+            jax.device_get(jnp.zeros((1,), jnp.float32))
+            dt = time.perf_counter() - t0
+            if dt > 5:
+                sugar().info("device transfer warm-up absorbed %.1fs", dt)
+        except Exception:  # never let warm-up break an entry point
+            pass
+
+    _WARM_THREAD = threading.Thread(
+        target=_warm, name="vstpu-d2h-warmup", daemon=True
+    )
+    _WARM_THREAD.start()
+
+
 @contextlib.contextmanager
 def device_trace(log_dir: str):
     """Capture a jax.profiler trace (TPU timeline, HLO, memory) to log_dir."""
