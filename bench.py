@@ -70,6 +70,14 @@ def main():
     packed = layout.pack_float(data)
     log("bench: quantized+packed in %.1fs", time.perf_counter() - t0)
 
+    # Finish absorbing the tunnel's first-D2H stall (environment artifact)
+    # before the timed build so build_s measures the build.
+    from vectorsearch_tpu.utils import wait_device_warm
+
+    t0 = time.perf_counter()
+    wait_device_warm()
+    log("bench: device warm wait %.1fs", time.perf_counter() - t0)
+
     # ---- index build (sharded Lloyd's; BASELINE config 4 analogue) ----
     t0 = time.perf_counter()
     result = build_centroids(

@@ -80,6 +80,12 @@ def main():
             N, DIM, time.perf_counter() - t0, cache,
         )
 
+    from vectorsearch_tpu.utils import wait_device_warm
+
+    t0 = time.perf_counter()
+    wait_device_warm()
+    log("build-bench: device warm wait %.1fs", time.perf_counter() - t0)
+
     t0 = time.perf_counter()
     result = build_centroids(
         packed,

@@ -89,6 +89,10 @@ def main():
     )
     queries = base + rng.normal(size=(N_QUERIES, DIM)).astype(np.float32) * 0.1
 
+    from vectorsearch_tpu.utils import wait_device_warm
+
+    wait_device_warm()  # keep the tunnel stall out of timed phases
+
     # ---- centroids (cached) ----
     if os.path.exists(CENTS):
         cz = np.load(CENTS)

@@ -140,6 +140,9 @@ def main():
         log("scale-check: populated %d rows in %.1fs", N, time.perf_counter() - t0)
 
     # --- engine boot (SQL stream -> pack -> HBM buckets) ---
+    from vectorsearch_tpu.utils import wait_device_warm
+
+    wait_device_warm()  # keep the tunnel stall out of the boot timing
     t0 = time.perf_counter()
     eng = Engine(store, FixedDimAI(centers), snapshot_dir=None)
     boot_s = time.perf_counter() - t0

@@ -3,6 +3,7 @@ from .profiling import (
     device_trace,
     enable_compile_cache,
     timed,
+    wait_device_warm,
     warm_device_transfer,
 )
 
@@ -11,5 +12,6 @@ __all__ = [
     "device_trace",
     "enable_compile_cache",
     "timed",
+    "wait_device_warm",
     "warm_device_transfer",
 ]

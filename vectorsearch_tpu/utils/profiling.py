@@ -79,6 +79,17 @@ def warm_device_transfer() -> None:
     _WARM_THREAD.start()
 
 
+def wait_device_warm(timeout: float | None = 600.0) -> None:
+    """Block until warm_device_transfer's first-D2H probe completes.
+
+    Benchmarks call this between host-side setup and their first timed
+    device phase so the per-process tunnel stall (an environment
+    artifact) is not attributed to the measured phase. No-op if
+    warm_device_transfer was never called."""
+    if _WARM_THREAD is not None:
+        _WARM_THREAD.join(timeout)
+
+
 @contextlib.contextmanager
 def device_trace(log_dir: str):
     """Capture a jax.profiler trace (TPU timeline, HLO, memory) to log_dir."""
