@@ -37,9 +37,10 @@ def warm_device_transfer() -> None:
     """Absorb the per-process device->host warm-up stall in the background.
 
     Measured on this environment's remote-TPU tunnel: the FIRST
-    synchronous device->host transfer of a process stalls 130-424 s (a
-    device_get of 8 floats took 424 s in a clean process), after which
-    transfers run at ~40 MB/s. Uploads, compiles and executions are
+    synchronous device->host transfer of a process stalls 130-760+ s —
+    growing over the life of a tunnel session (a device_get of 8 floats
+    took 424 s in a clean process; a later process absorbed 762 s) —
+    after which transfers run at ~40 MB/s. Uploads, compiles and executions are
     asynchronous journal writes and never hit it — but they QUEUE behind
     an in-flight first D2H, so the stall cannot be hidden behind device
     work, only behind HOST-ONLY work. (This stall is what r1/r2 build
@@ -79,7 +80,7 @@ def warm_device_transfer() -> None:
     _WARM_THREAD.start()
 
 
-def wait_device_warm(timeout: float | None = 600.0) -> None:
+def wait_device_warm(timeout: float | None = 1800.0) -> None:
     """Block until warm_device_transfer's first-D2H probe completes.
 
     Benchmarks call this between host-side setup and their first timed
