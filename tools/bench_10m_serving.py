@@ -115,6 +115,9 @@ def main():
         np.savez(CENTS, centroids=centroids, assignments=assignments)
 
     # ---- exact f32 ground truth over the ORIGINAL corpus (cached) ----
+    # Checkpointed per slab: a crash/tunnel stall mid-computation resumes
+    # from the last completed slab instead of redoing ~40 min of work.
+    truth_part = TRUTH + ".part.npz"
     if os.path.exists(TRUTH):
         truth = np.load(TRUTH)["truth"]
         log("serve10m: loaded cached ground truth")
@@ -135,7 +138,15 @@ def main():
 
         best_s = np.full((N_QUERIES, TOPK), -np.inf, np.float32)
         best_i = np.zeros((N_QUERIES, TOPK), np.int64)
+        done_upto = 0
+        if os.path.exists(truth_part):
+            pz = np.load(truth_part)
+            best_s, best_i = pz["best_s"], pz["best_i"]
+            done_upto = int(pz["done_upto"])
+            log("serve10m: resuming ground truth at slab %d", done_upto)
         for start, block in regen_slabs():
+            if start < done_upto:
+                continue
             s, i = jax.device_get(slab_scores(q_dev, jnp.asarray(block)))
             i = i.astype(np.int64) + start
             cat_s = np.concatenate([best_s, s], axis=1)
@@ -143,9 +154,15 @@ def main():
             take = np.argsort(-cat_s, axis=1)[:, :TOPK]
             best_s = np.take_along_axis(cat_s, take, axis=1)
             best_i = np.take_along_axis(cat_i, take, axis=1)
+            tmp = truth_part[:-4] + ".tmp.npz"
+            np.savez(tmp, best_s=best_s, best_i=best_i,
+                     done_upto=start + len(block))
+            os.replace(tmp, truth_part)
             log("serve10m: truth slab %d done (%.0fs)", start, time.perf_counter() - t0)
         truth = best_i
         np.savez(TRUTH, truth=truth)
+        if os.path.exists(truth_part):
+            os.remove(truth_part)
         log("serve10m: ground truth in %.1fs", time.perf_counter() - t0)
 
     # ---- IVF index (read-only headroom) ----
