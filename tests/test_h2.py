@@ -150,6 +150,128 @@ def test_http11_pipe_still_serves(h2_server):
     assert json.loads(body) == {"category_names": ["c"]}
 
 
+# ---- unit-level framing tests (no TLS server; drive _frame directly) ----
+
+
+class _StubWriter:
+    def __init__(self):
+        self.sent = bytearray()
+
+    def write(self, data):
+        self.sent.extend(data)
+
+    async def drain(self):
+        pass
+
+    def close(self):
+        pass
+
+
+def _conn_and_codec():
+    from vectorsearch_tpu.api.h2 import H2Connection, HpackCodec
+
+    conn = H2Connection(None, _StubWriter(), ("127.0.0.1", 1), session=None)
+    dispatched = []
+    conn._dispatch = lambda st: dispatched.append(st)
+    return conn, HpackCodec(), dispatched
+
+
+def _req_block(codec, extra=()):
+    return codec.encode(
+        [(b":method", b"POST"), (b":path", b"/api/search"),
+         (b":scheme", b"https"), (b":authority", b"t"), *extra]
+    )
+
+
+def test_h2_trailers_end_stream_dispatches():
+    """END_STREAM riding the trailer HEADERS must dispatch the request
+    (previously the stream hung forever)."""
+    from vectorsearch_tpu.api import h2 as h2mod
+
+    async def run():
+        conn, codec, dispatched = _conn_and_codec()
+        await conn._frame(
+            h2mod.HEADERS, h2mod.FLAG_END_HEADERS, 1, _req_block(codec)
+        )
+        await conn._frame(h2mod.DATA, 0, 1, b'{"x":1}')
+        trailer = codec.encode([(b"x-checksum", b"abc")])
+        await conn._frame(
+            h2mod.HEADERS,
+            h2mod.FLAG_END_HEADERS | h2mod.FLAG_END_STREAM, 1, trailer,
+        )
+        assert len(dispatched) == 1
+        assert bytes(dispatched[0].body) == b'{"x":1}'
+        assert dispatched[0].end_stream
+
+    asyncio.run(run())
+
+
+def test_h2_oversize_body_reset_not_dispatched(monkeypatch):
+    """A body over MAX_BODY draws RST_STREAM and must NOT dispatch."""
+    from vectorsearch_tpu.api import h2 as h2mod
+
+    monkeypatch.setattr(h2mod, "MAX_BODY", 8)
+
+    async def run():
+        conn, codec, dispatched = _conn_and_codec()
+        await conn._frame(
+            h2mod.HEADERS, h2mod.FLAG_END_HEADERS, 1, _req_block(codec)
+        )
+        await conn._frame(
+            h2mod.DATA, h2mod.FLAG_END_STREAM, 1, b"0123456789abcdef"
+        )
+        assert dispatched == []
+        assert 1 not in conn.streams
+
+    asyncio.run(run())
+
+
+def test_h2_cookie_crumbs_rejoined():
+    """Split cookie fields (RFC 7540 8.1.2.5) rejoin with '; ' for h1."""
+    from vectorsearch_tpu.api import h2 as h2mod
+
+    captured = {}
+
+    class _FakeResp:
+        status = 200
+        headers = {}
+
+        class content:
+            @staticmethod
+            async def iter_any():
+                return
+                yield  # pragma: no cover
+
+    class _FakeCtx:
+        async def __aenter__(self):
+            return _FakeResp()
+
+        async def __aexit__(self, *a):
+            return False
+
+    class _FakeSession:
+        def request(self, method, url, **kw):
+            captured.update(kw)
+            return _FakeCtx()
+
+    async def run():
+        conn, codec, _ = _conn_and_codec()
+        conn.session = _FakeSession()
+        block = _req_block(
+            codec, extra=[(b"cookie", b"a=1"), (b"cookie", b"b=2")]
+        )
+        await conn._frame(
+            h2mod.HEADERS,
+            h2mod.FLAG_END_HEADERS | h2mod.FLAG_END_STREAM, 1, block,
+        )
+        # _conn_and_codec stubs _dispatch; run the handler directly
+        st = conn.streams[1]
+        await conn._handle(st)
+        assert captured["headers"]["cookie"] == "a=1; b=2"
+
+    asyncio.run(run())
+
+
 def test_h2_concurrent_streams(h2_server):
     import concurrent.futures as cf
 

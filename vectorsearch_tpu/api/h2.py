@@ -316,6 +316,7 @@ class H2Connection:
                         RST_STREAM, 0, sid, struct.pack("!I", 0xB)
                     )  # ENHANCE_YOUR_CALM
                     self.streams.pop(sid, None)
+                    return True  # reset: never dispatch the oversize body
                 if flags & FLAG_END_STREAM:
                     st.end_stream = True
                     self._dispatch(st)
@@ -343,7 +344,14 @@ class H2Connection:
         self._hdr_stream = None
         decoded = self.hpack.decode(bytes(self._hdr_frag))
         if self._hdr_trailer:
-            return  # trailers: HPACK state consumed, content ignored
+            # Trailers: HPACK state consumed, content ignored — but the
+            # END_STREAM flag rides the trailer HEADERS (RFC 7540 §8.1),
+            # so the request must dispatch here, not on a DATA frame.
+            st = self.streams.get(sid)
+            if st is not None and self._hdr_end_stream and not st.end_stream:
+                st.end_stream = True
+                self._dispatch(st)
+            return
         st = self.streams[sid]
         st.headers = decoded
         if self._hdr_end_stream:
@@ -380,11 +388,19 @@ class H2Connection:
             h = dict(st.headers)
             method = h.get(b":method", b"GET").decode()
             path = h.get(b":path", b"/").decode()
-            fwd = {
-                k.decode(): v.decode()
-                for k, v in st.headers
-                if not k.startswith(b":") and k not in (b"connection", b"te")
-            }
+            # h2 clients may split cookies into one field per crumb
+            # (RFC 7540 §8.1.2.5); rejoin with "; " for the h1 upstream.
+            fwd: dict[str, str] = {}
+            cookies: list[str] = []
+            for k, v in st.headers:
+                if k.startswith(b":") or k in (b"connection", b"te"):
+                    continue
+                if k == b"cookie":
+                    cookies.append(v.decode())
+                else:
+                    fwd[k.decode()] = v.decode()
+            if cookies:
+                fwd["cookie"] = "; ".join(cookies)
             host, port = self.upstream
             url = f"http://{host}:{port}{path}"
             async with self.session.request(
