@@ -52,6 +52,15 @@ from . import cosine
 TILE_CAP = 1024  # bucket rows per grid step (int8 sublane multiple)
 
 
+def _qt_max() -> int:
+    """Cap on query rows per group. 32 balances read amplification vs
+    padding waste at nprobe<=8; high-nprobe scans (mean pairs/cluster >
+    32) can raise it via VSTPU_SCAN_QT_MAX to halve codes traffic."""
+    import os
+
+    return int(os.environ.get("VSTPU_SCAN_QT_MAX", 32))
+
+
 def _next_pow2(x: int) -> int:
     n = 1
     while n < x:
@@ -118,7 +127,7 @@ def ivf_scan_pallas(
     # per cluster. QT ~ 2x the mean pairs/cluster keeps most groups full
     # (read amplification) without padding waste (compute).
     p = b * nprobe
-    qt = max(8, min(32, _next_pow2(-(-2 * p // kk))))
+    qt = max(8, min(_qt_max(), _next_pow2(-(-2 * p // kk))))
     # sum_c ceil(m_c/QT) <= P//QT + #distinct <= P//QT + min(K, P)
     g_max = p // qt + min(kk, p)
 
