@@ -199,7 +199,14 @@ def ivf_scan_pallas(
     scores = pair_scores.reshape(b, nprobe * cap)
     k_eff = min(k, nprobe * cap)
     if approx and k_eff * 8 <= nprobe * cap:
-        best, pos = jax.lax.approx_max_k(scores, k_eff)
+        # default per-element recall 0.95 measurably caps end recall at
+        # large nprobe*cap (10M bench: nprobe=8 scored BELOW nprobe=1);
+        # raise via VSTPU_SCAN_APPROX_RECALL when recall matters more
+        # than the last ~10% of QPS
+        import os
+
+        rt = float(os.environ.get("VSTPU_SCAN_APPROX_RECALL", 0.95))
+        best, pos = jax.lax.approx_max_k(scores, k_eff, recall_target=rt)
     else:
         best, pos = jax.lax.top_k(scores, k_eff)
     cluster = jnp.take_along_axis(probed, pos // cap, axis=-1)
