@@ -187,26 +187,55 @@ def _assign_and_accumulate(
     return sums, counts, cids
 
 
-def _make_iteration(mesh: Mesh | None, axis: str = "data"):
-    """Compile one Lloyd's iteration, optionally sharded over `mesh`."""
+def _make_lloyd_loop(mesh: Mesh | None, axis: str = "data"):
+    """The WHOLE Lloyd's loop as one jitted program (lax.while_loop).
 
-    def iteration(tiles, valid, centroids, prev_assign, k_valid):
-        sums, counts, cids = _assign_and_accumulate(
-            tiles, valid, centroids, k_valid,
-            axis if mesh is not None else None,
+    Convergence is checked on device, so the host syncs once at the end
+    instead of once per iteration. Through the remote-TPU tunnel every
+    synchronous D2H is a round trip whose latency GROWS over the tunnel
+    session (CLAUDE.md "first-D2H stall"; later syncs measured 10-150 s
+    on aged sessions) — the per-iteration `int(changes)` fetch dominated
+    the 10M build's superset phase (465 s for ~20 s of device compute).
+    max_iters/tol ride as traced scalars so every phase (superset, main,
+    survivors, balance sub-splits) shares one compiled program per tile
+    shape.
+    """
+
+    def run(tiles, valid, centroids, prev_assign, k_valid, max_iters, tol):
+        def body(carry):
+            cents, _, prev, it, _ = carry
+            sums, counts, cids = _assign_and_accumulate(
+                tiles, valid, cents, k_valid,
+                axis if mesh is not None else None,
+            )
+            new_cents = jnp.where(
+                counts[:, None] > 0,
+                sums / jnp.maximum(counts, 1)[:, None],
+                cents,
+            )
+            changes = jnp.sum(
+                jnp.where(valid, cids != prev, False).astype(jnp.int32)
+            )
+            if mesh is not None:
+                changes = jax.lax.psum(changes, axis)
+            return new_cents, counts, cids, it + 1, changes
+
+        def cond(carry):
+            _, _, _, it, changes = carry
+            return (it < max_iters) & (changes > tol)
+
+        init = (
+            centroids,
+            jnp.zeros((centroids.shape[0],), jnp.float32),
+            prev_assign,
+            jnp.int32(0),
+            jnp.int32(2**31 - 1),
         )
-        new_centroids = jnp.where(
-            counts[:, None] > 0, sums / jnp.maximum(counts, 1)[:, None], centroids
-        )
-        changes = jnp.sum(
-            jnp.where(valid, cids != prev_assign, False).astype(jnp.int32)
-        )
-        if mesh is not None:
-            changes = jax.lax.psum(changes, axis)
-        return new_centroids, counts, cids, changes
+        cents, counts, cids, it, _ = jax.lax.while_loop(cond, body, init)
+        return cents, counts, cids, it
 
     if mesh is None:
-        return jax.jit(iteration)
+        return jax.jit(run)
     pv = P(axis)
     specs_in = (
         PackedVectors(P(axis), P(axis), P(axis), P(axis)),
@@ -214,11 +243,13 @@ def _make_iteration(mesh: Mesh | None, axis: str = "data"):
         P(),
         pv,
         P(),
+        P(),
+        P(),
     )
     specs_out = (P(), P(), pv, P())
     return jax.jit(
         jax.shard_map(
-            iteration, mesh=mesh, in_specs=specs_in, out_specs=specs_out,
+            run, mesh=mesh, in_specs=specs_in, out_specs=specs_out,
             check_vma=False,
         )
     )
@@ -276,22 +307,17 @@ def lloyd(
         jnp.float32,
     )
     k_valid = jnp.int32(k_real)  # dynamic mask, not a compile shape
-    iteration = _make_iteration(mesh)
-
-    counts = None
-    it = 0
-    for it in range(1, max_iters + 1):
-        centroids, counts, d_prev, changes = iteration(
-            d_tiles, d_valid, centroids, d_prev, k_valid
-        )
-        if int(changes) <= tol_changes:
-            break
+    run = _make_lloyd_loop(mesh)
+    centroids, counts, d_prev, it = run(
+        d_tiles, d_valid, centroids, d_prev, k_valid,
+        jnp.int32(max_iters), jnp.int32(tol_changes),
+    )
     assignments = np.asarray(d_prev).reshape(-1)[:n]
     return KMeansResult(
         centroids=np.asarray(centroids)[:k_real],
         assignments=assignments,
         counts=np.asarray(counts, np.int64)[:k_real],
-        iterations=it,
+        iterations=int(it),
     )
 
 
