@@ -46,6 +46,27 @@ def test_pallas_matches_xla_scan(nprobe):
         assert len(set(a) & set(b)) >= 4
 
 
+@pytest.mark.parametrize("nprobe", [16, 64, 96])
+def test_pallas_high_nprobe_exact(nprobe):
+    """High-nprobe regression for the two-stage per-pair top-k epilogue:
+    a flat reduction over [B, nprobe*cap] dropped true candidates at
+    nprobe=64 on the 10M corpus (probe-major layout packs every winner
+    into the first cluster's contiguous positions — recall 0.9408 vs
+    0.9617 at nprobe=8). The per-pair reduction must match XLA exactly."""
+    ivf, v = make_ivf(n_per=40, k=96, d=128)
+    q = jnp.asarray(v[:17] + 0.01, jnp.float32)
+    s_ref, i_ref = _ivf_scan(
+        q, ivf.centroids_n, ivf.buckets, ivf.counts_dev, ivf.bucket_mask,
+        nprobe=nprobe, k=10,
+    )
+    s_pal, i_pal = ivf_scan_pallas(
+        q, ivf.centroids_n, ivf.buckets, ivf.counts_dev, ivf.bucket_mask,
+        nprobe=nprobe, k=10, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(s_pal), np.asarray(s_ref), atol=1e-3)
+    assert np.array_equal(np.asarray(i_pal), np.asarray(i_ref))
+
+
 @pytest.mark.parametrize("b,nprobe", [(33, 2), (5, 6), (64, 1), (1, 3)])
 def test_grouped_kernel_batch_shapes(b, nprobe):
     """Cluster grouping must agree with the XLA path across batch shapes

@@ -190,27 +190,36 @@ def ivf_scan_pallas(
         interpret=interpret,
     )(grp_cluster, qg, qsum_g, buckets.codes, a, bv, bias)
 
-    # ---- restore pair order, top-k over the union of probed buckets.
-    # approx=True uses the TPU's native approximate top-k unit for the
-    # coarse reduction — safe when an exact refine re-ranks the
-    # candidates afterwards (_scan_refined), same trade the flat path
-    # makes (kernels/cosine.py scan_topk).
+    # ---- restore pair order, then a TWO-STAGE top-k: each (query,
+    # cluster) pair reduces its own cap-row to kc candidates first, and
+    # the final exact top-k runs over the tiny [B, nprobe*kc] union.
+    # Correctness: any global top-kc element has < kc elements above it
+    # globally, hence < kc above it within its own pair — so the global
+    # top-kc is contained in the union of per-pair top-kc.
+    #
+    # This exists because a single flat reduction over [B, nprobe*cap]
+    # breaks both ways at large nprobe: exact top_k reads the whole
+    # 128x-wider buffer through the sort network, and approx_max_k's
+    # per-bin max DROPS true candidates — the probe-major layout packs
+    # every winner into the first probed cluster's contiguous cap
+    # positions, so one bin holds many winners (measured on the 10M
+    # corpus: recall 0.9408 at nprobe=64 vs 0.9617 at nprobe=8,
+    # insensitive to recall_target). Within a single pair row, slots are
+    # insertion-ordered (uncorrelated with score), so the approx unit is
+    # safe per pair; `approx` gates it for the refine-backed path.
     pair_scores = out.reshape(g_max * qt, cap)[pair_slot]  # [P, cap]
-    scores = pair_scores.reshape(b, nprobe * cap)
     k_eff = min(k, nprobe * cap)
-    if approx and k_eff * 8 <= nprobe * cap:
-        # default per-element recall 0.95 measurably caps end recall at
-        # large nprobe*cap (10M bench: nprobe=8 scored BELOW nprobe=1);
-        # raise via VSTPU_SCAN_APPROX_RECALL when recall matters more
-        # than the last ~10% of QPS
-        import os
-
-        rt = float(os.environ.get("VSTPU_SCAN_APPROX_RECALL", 0.95))
-        best, pos = jax.lax.approx_max_k(scores, k_eff, recall_target=rt)
+    kc = min(k_eff, cap)
+    if approx and kc * 8 <= cap:
+        ps, pi = jax.lax.approx_max_k(pair_scores, kc)
     else:
-        best, pos = jax.lax.top_k(scores, k_eff)
-    cluster = jnp.take_along_axis(probed, pos // cap, axis=-1)
-    gslot = cluster * cap + pos % cap
+        ps, pi = jax.lax.top_k(pair_scores, kc)
+    scores = ps.reshape(b, nprobe * kc)
+    best, pos = jax.lax.top_k(scores, k_eff)
+    probe_j = pos // kc
+    slot = jnp.take_along_axis(pi.reshape(b, nprobe * kc), pos, axis=-1)
+    cluster = jnp.take_along_axis(probed, probe_j, axis=-1)
+    gslot = cluster * cap + slot
     if k_eff < k:
         best = jnp.pad(
             best, ((0, 0), (0, k - k_eff)), constant_values=cosine.NEG_INF
