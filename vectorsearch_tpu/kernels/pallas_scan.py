@@ -211,7 +211,9 @@ def ivf_scan_pallas(
     k_eff = min(k, nprobe * cap)
     kc = min(k_eff, cap)
     if approx and kc * 8 <= cap:
-        ps, pi = jax.lax.approx_max_k(pair_scores, kc)
+        # 0.98: the residual per-pair bin-collision loss at 0.95 cost
+        # ~0.2pt recall on the 10M corpus for ~1.3% QPS
+        ps, pi = jax.lax.approx_max_k(pair_scores, kc, recall_target=0.98)
     else:
         ps, pi = jax.lax.top_k(pair_scores, kc)
     scores = ps.reshape(b, nprobe * kc)
