@@ -93,7 +93,7 @@ def _grouped_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("nprobe", "k", "interpret", "approx")
+    jax.jit, static_argnames=("nprobe", "k", "interpret", "approx", "qt_max")
 )
 def ivf_scan_pallas(
     queries: jax.Array,
@@ -105,6 +105,7 @@ def ivf_scan_pallas(
     k: int,
     interpret: bool = False,
     approx: bool = False,
+    qt_max: int | None = None,
 ):
     """Drop-in replacement for index.ivf._ivf_scan (same signature/returns)."""
     b = queries.shape[0]
@@ -127,7 +128,7 @@ def ivf_scan_pallas(
     # per cluster. QT ~ 2x the mean pairs/cluster keeps most groups full
     # (read amplification) without padding waste (compute).
     p = b * nprobe
-    qt = max(8, min(_qt_max(), _next_pow2(-(-2 * p // kk))))
+    qt = max(8, min(qt_max or _qt_max(), _next_pow2(-(-2 * p // kk))))
     # sum_c ceil(m_c/QT) <= P//QT + #distinct <= P//QT + min(K, P)
     g_max = p // qt + min(kk, p)
 
