@@ -29,12 +29,18 @@ def _doc(i: int) -> dict:
     }
 
 
-def test_engine_model_check(tmp_path):
+@pytest.mark.parametrize("with_mesh", [False, True], ids=["1dev", "mesh8"])
+def test_engine_model_check(tmp_path, with_mesh):
+    mesh = None
+    if with_mesh:
+        from vectorsearch_tpu.parallel import default_mesh
+
+        mesh = default_mesh(8)
     rng = np.random.default_rng(7)
     store = Store(str(tmp_path / "store.db"))
     engine = Engine(
         store, WordHashAI(), cache=EngineCache(ttl=0.0),
-        snapshot_dir=str(tmp_path / "snaps"),
+        snapshot_dir=str(tmp_path / "snaps"), mesh=mesh,
     )
 
     live: dict[int, int] = {}  # doc index -> document_id
