@@ -36,6 +36,30 @@ def test_lloyd_recovers_blobs():
     assert (sims.max(axis=1) > 0.95).sum() >= 4
 
 
+def test_lloyd_fused_loop_semantics():
+    """The on-device while_loop (one dispatch, one sync) must keep the
+    host-loop contract: converge early when assignments stop changing,
+    respect max_iters, and honor tol_changes."""
+    v, _ = blobs(k=3, n_per=80, d=32)
+    packed = layout.pack_float(v)
+    init = sample_init(packed, 3, seed=4)
+
+    res = lloyd(packed, init, max_iters=50, chunk=128)
+    assert 1 <= res.iterations < 50  # converged early, not capped
+    # converged: one more pass from the result changes nothing
+    res2 = lloyd(packed, res.centroids, max_iters=1, chunk=128)
+    assert res2.iterations == 1
+    assert np.array_equal(res2.assignments, res.assignments)
+
+    # max_iters binds when tol can't be reached
+    res3 = lloyd(packed, init, max_iters=2, chunk=128)
+    assert res3.iterations <= 2
+
+    # a huge tol stops after the first iteration
+    res4 = lloyd(packed, init, max_iters=50, chunk=128, tol_changes=10**9)
+    assert res4.iterations == 1
+
+
 def test_kmeans_superset_balance():
     v, centers = blobs(k=4, n_per=100)
     packed = layout.pack_float(v)

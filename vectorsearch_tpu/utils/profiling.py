@@ -80,7 +80,7 @@ def warm_device_transfer() -> None:
     _WARM_THREAD.start()
 
 
-def wait_device_warm(timeout: float | None = 1800.0) -> None:
+def wait_device_warm(timeout: float | None = 3600.0) -> None:
     """Block until warm_device_transfer's first-D2H probe completes.
 
     Benchmarks call this between host-side setup and their first timed
