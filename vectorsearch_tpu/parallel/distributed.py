@@ -69,12 +69,19 @@ def global_mesh(n_devices: int | None = None) -> Mesh:
 
 
 def put_sharded(array: np.ndarray, sharding: NamedSharding) -> jax.Array:
-    """Place a host array onto a (possibly multi-host) sharding.
+    """Place a HOST-GLOBAL array onto a (possibly multi-host) sharding.
 
     Fully-addressable mesh (single host, incl. the virtual CPU mesh):
-    plain device_put. Multi-host: every process passes its process-local
-    row block and JAX assembles the global array.
+    plain device_put. Multi-host: every process passes the same global
+    array and each contributes the slices its devices own
+    (make_array_from_callback). NOT make_array_from_process_local_data —
+    that interprets the input as this process's rows only and doubles
+    the global shape (caught by tests/test_distributed.py's real
+    two-process run).
     """
     if sharding.is_fully_addressable:
         return jax.device_put(array, sharding)
-    return jax.make_array_from_process_local_data(sharding, array)
+    array = np.asarray(array)
+    return jax.make_array_from_callback(
+        array.shape, sharding, lambda idx: array[idx]
+    )
