@@ -355,3 +355,110 @@ def test_query_batcher_error_propagates():
         lambda q: (np.ones((len(q), 2)), np.zeros((len(q), 2), np.int64)),
     )
     assert s.shape == (2,)
+
+
+def test_upload_coalescing_deterministic():
+    """Concurrent uploads to one category share one assign dispatch and
+    one index insert: hold state.lock so the first arrival (leader)
+    blocks, let N requests queue, release — all N land in ONE batch."""
+    store = Store(":memory:")
+    eng = Engine(store, WordHashAI(), cache=EngineCache(ttl=0.0))
+    # create the category + state up front
+    first = eng.upload("o", "c", [{"name": "seed", "document": {"text": "seed row"}}])
+    assert first
+    cat = store.get_category(store.get_owner("o").id, "c")
+    state = eng._state_for(cat.id, create=False)
+    base_batches = eng._upload_batches
+
+    n = 6
+    results = {}
+    errors = []
+
+    def one(i):
+        try:
+            results[i] = eng.upload(
+                "o", "c", [{"name": f"t{i}", "document": {"text": f"coal tok{i}"}}]
+            )
+        except BaseException as e:  # pragma: no cover
+            errors.append(e)
+
+    state.lock.acquire()
+    try:
+        threads = [threading.Thread(target=one, args=(i,)) for i in range(n)]
+        for t in threads:
+            t.start()
+        deadline = time.time() + 10
+        while len(state.upload_queue) < n and time.time() < deadline:
+            time.sleep(0.01)
+        assert len(state.upload_queue) == n
+    finally:
+        state.lock.release()
+    for t in threads:
+        t.join(timeout=30)
+    assert not errors
+    assert len(results) == n
+    ids = [i for r in results.values() for i in r]
+    assert len(set(ids)) == n  # distinct doc ids per request
+    assert eng._upload_batches == base_batches + 1  # ONE coalesced batch
+    # every doc searchable afterwards
+    for i in range(n):
+        hits = eng.search("o", "c", f"coal tok{i}", count=1, centroids=-1)
+        assert hits and hits[0].document_id == results[i][0]
+    eng.close()
+    store.close()
+
+
+def test_upload_batch_failure_isolated():
+    """A request whose SQL transaction fails must not fail its batch
+    siblings (per-request transactions inside the coalesced batch)."""
+    store = Store(":memory:")
+    eng = Engine(store, WordHashAI(), cache=EngineCache(ttl=0.0))
+    eng.upload("o", "c", [{"name": "seed", "document": {"text": "seed row"}}])
+    cat = store.get_category(store.get_owner("o").id, "c")
+    state = eng._state_for(cat.id, create=False)
+
+    real_insert = store.insert_documents_with_embeddings
+
+    def poisoned(category_id, doc_rows, embeddings_per_doc):
+        if any(name == "bad" for name, _, _ in doc_rows):
+            raise RuntimeError("injected SQL failure")
+        return real_insert(category_id, doc_rows, embeddings_per_doc)
+
+    store.insert_documents_with_embeddings = poisoned
+    results = {}
+    errors = {}
+
+    def one(name):
+        try:
+            results[name] = eng.upload(
+                "o", "c", [{"name": name, "document": {"text": f"tok {name}"}}]
+            )
+        except BaseException as e:
+            errors[name] = e
+
+    state.lock.acquire()
+    try:
+        threads = [
+            threading.Thread(target=one, args=(nm,))
+            for nm in ("good1", "bad", "good2")
+        ]
+        for t in threads:
+            t.start()
+        deadline = time.time() + 10
+        while len(state.upload_queue) < 3 and time.time() < deadline:
+            time.sleep(0.01)
+    finally:
+        state.lock.release()
+    for t in threads:
+        t.join(timeout=30)
+    store.insert_documents_with_embeddings = real_insert
+
+    assert set(errors) == {"bad"} and "injected" in str(errors["bad"])
+    assert set(results) == {"good1", "good2"}
+    for nm in ("good1", "good2"):
+        hits = eng.search("o", "c", f"tok {nm}", count=1, centroids=-1)
+        assert hits and hits[0].document_id == results[nm][0]
+    # the failed request left nothing behind
+    assert store.count_embeddings(cat.id) == 3  # seed + good1 + good2
+    eng.close()
+    store.close()

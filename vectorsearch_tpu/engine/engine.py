@@ -65,6 +65,23 @@ class CategoryState:
     # invalidated by any mutation (single-writer + sharded-reader pattern,
     # SURVEY.md §2.8 "DB read replicas" row)
     sharded: object | None = None
+    # upload coalescing (see Engine.upload): pending jobs + queue lock
+    upload_queue: list = field(default_factory=list)
+    upload_qlock: threading.Lock = field(default_factory=threading.Lock)
+
+
+@dataclass
+class _UploadJob:
+    """One request's share of a coalesced upload batch."""
+
+    packed: PackedVectors
+    wire_mat: np.ndarray
+    documents: list[dict]
+    sections_per_doc: list[int]
+    done: threading.Event = field(default_factory=threading.Event)
+    result: list[int] | None = None
+    emb_count: int = 0
+    error: BaseException | None = None
 
 
 @dataclass(frozen=True)
@@ -97,6 +114,9 @@ class Engine:
         self.cache = cache or EngineCache()
         self.cache.start()
         self._batcher = QueryBatcher()
+        # upload coalescing observability (tests + /api/stats)
+        self._upload_batches = 0
+        self._upload_rows = 0
         self._holder = uuid.uuid4().hex  # build-lock identity
         self._states: dict[int, CategoryState] = {}
         self._states_lock = threading.Lock()
@@ -320,80 +340,168 @@ class Engine:
         )
         state = self._state_for(category.id)
 
-        with state.lock:
-            # 4. first-ever embedding bootstraps centroid #1
-            #    (reference: server/upload.go:215-226)
-            if state.ivf is None:
-                cent_id = self.store.create_centroid(
-                    category.id, wire_mat[0].tobytes()
-                )
-                centroids = codec.dequantize(wire_mat[:1]).astype(np.float32)
-                state.ivf = IVFIndex.build(
-                    layout.empty(centroids.shape[1]),
-                    np.zeros((0,), np.int64),
-                    centroids,
-                )
-                state.centroid_db_ids = [cent_id]
-                self.cache.centroids.invalidate(category.id)
+        # 4-8 run coalesced: concurrent uploads to one category share ONE
+        # assign dispatch and ONE index insert (the reference serves
+        # concurrent uploads with goroutines + per-request SQL inserts,
+        # server/upload.go:40; on TPU concurrency means batching — same
+        # pattern as the query batcher). The first arrival is the batch
+        # leader and blocks on state.lock; requests landing meanwhile are
+        # drained with it. SQL transactions stay per-request, so one bad
+        # request fails alone.
+        job = _UploadJob(
+            packed=packed, wire_mat=wire_mat, documents=documents,
+            sections_per_doc=sections_per_doc,
+        )
+        with state.upload_qlock:
+            state.upload_queue.append(job)
+            leader = state.upload_queue[0] is job
+        if leader:
+            with state.lock:
+                with state.upload_qlock:
+                    jobs = list(state.upload_queue)
+                    state.upload_queue.clear()
+                try:
+                    self._process_upload_batch(state, category.id, jobs)
+                except BaseException as e:
+                    for j in jobs:
+                        if j.error is None and j.result is None:
+                            j.error = e
+                finally:
+                    for j in jobs:
+                        j.done.set()
+        else:
+            job.done.wait()
+        if job.error is not None:
+            raise job.error
+        sugar().info(
+            "%d upload: %d documents, %d embeddings",
+            txid, len(job.result), job.emb_count,
+        )
+        return job.result
 
-            if packed.dim != state.ivf.dim:
-                raise ValueError(
-                    f"embedding dimension changed: index is {state.ivf.dim}, "
-                    f"provider returned {packed.dim} — rebuild the category"
-                )
-
-            # 5. assign to nearest centroid (device)
-            cids = state.ivf.assign(packed)
-
-            # 6. persist documents + embeddings in ONE transaction (a
-            # failure must not leave orphaned, unsearchable document rows)
-            doc_rows = [
-                (d.get("name", ""), d.get("external_id", ""), d.get("document"))
-                for d in documents
-            ]
-            embeddings_per_doc = []
-            cursor = 0
-            for n_sections in sections_per_doc:
-                embeddings_per_doc.append(
-                    [
-                        (
-                            wire_mat[cursor + j].tobytes(),
-                            state.centroid_db_ids[int(cids[cursor + j])],
-                        )
-                        for j in range(n_sections)
-                    ]
-                )
-                cursor += n_sections
-            doc_ids, emb_ids = self.store.insert_documents_with_embeddings(
-                category.id, doc_rows, embeddings_per_doc
+    def _process_upload_batch(
+        self, state: CategoryState, category_id: int, jobs: list[_UploadJob]
+    ) -> None:
+        """Steps 4-8 of upload for a drained batch; caller holds state.lock."""
+        # 4. first-ever embedding bootstraps centroid #1
+        #    (reference: server/upload.go:215-226)
+        if state.ivf is None:
+            first = jobs[0]
+            cent_id = self.store.create_centroid(
+                category_id, first.wire_mat[0].tobytes()
             )
+            centroids = codec.dequantize(first.wire_mat[:1]).astype(np.float32)
+            state.ivf = IVFIndex.build(
+                layout.empty(centroids.shape[1]),
+                np.zeros((0,), np.int64),
+                centroids,
+            )
+            state.centroid_db_ids = [cent_id]
+            self.cache.centroids.invalidate(category_id)
+
+        valid = []
+        for j in jobs:
+            if j.packed.dim != state.ivf.dim:
+                j.error = ValueError(
+                    f"embedding dimension changed: index is {state.ivf.dim}, "
+                    f"provider returned {j.packed.dim} — rebuild the category"
+                )
+            else:
+                valid.append(j)
+        if not valid:
+            return
+
+        # 5. assign to nearest centroid — ONE device dispatch for the batch
+        if len(valid) == 1:
+            batch_packed = valid[0].packed
+        else:
+            batch_packed = PackedVectors(
+                *[
+                    np.concatenate([np.asarray(getattr(j.packed, f)) for j in valid])
+                    for f in PackedVectors._fields
+                ]
+            )
+        cids = state.ivf.assign(batch_packed)
+
+        # 6. persist documents + embeddings, ONE transaction PER REQUEST (a
+        # failure must not leave orphaned rows, and must not fail siblings)
+        surviving: list[tuple[_UploadJob, list[int], int, int]] = []
+        offset = 0
+        for j in valid:
+            m = len(j.wire_mat)
+            my_cids = cids[offset : offset + m]
+            try:
+                doc_rows = [
+                    (d.get("name", ""), d.get("external_id", ""), d.get("document"))
+                    for d in j.documents
+                ]
+                embeddings_per_doc = []
+                cursor = 0
+                for n_sections in j.sections_per_doc:
+                    embeddings_per_doc.append(
+                        [
+                            (
+                                j.wire_mat[cursor + i].tobytes(),
+                                state.centroid_db_ids[int(my_cids[cursor + i])],
+                            )
+                            for i in range(n_sections)
+                        ]
+                    )
+                    cursor += n_sections
+                doc_ids, emb_ids = self.store.insert_documents_with_embeddings(
+                    category_id, doc_rows, embeddings_per_doc
+                )
+            except BaseException as e:
+                j.error = e
+                offset += m
+                continue
+            j.result = doc_ids
+            j.emb_count = len(emb_ids)
+            surviving.append((j, emb_ids, offset, m))
+            offset += m
+        if not surviving:
+            return
+
+        # 7. stream into the HBM index — ONE insert for the whole batch
+        if len(surviving) == len(valid):
+            ins_packed, ins_cids = batch_packed, cids
+            ins_emb = np.concatenate(
+                [np.asarray(e, np.int64) for _, e, _, _ in surviving]
+            )
+        else:
+            keep = np.concatenate(
+                [np.arange(o, o + m) for _, _, o, m in surviving]
+            )
+            ins_packed = PackedVectors(
+                *[np.asarray(a)[keep] for a in batch_packed]
+            )
+            ins_cids = cids[keep]
+            ins_emb = np.concatenate(
+                [np.asarray(e, np.int64) for _, e, _, _ in surviving]
+            )
+        state.ivf = state.ivf.insert(ins_packed, ins_emb, cids=ins_cids)
+        for j, emb_ids, _, _ in surviving:
             per_emb_doc = [
                 doc_id
-                for doc_id, n_sections in zip(doc_ids, sections_per_doc)
+                for doc_id, n_sections in zip(j.result, j.sections_per_doc)
                 for _ in range(n_sections)
             ]
-
-            # 7. stream into the HBM index (append-without-rebuild)
-            state.ivf = state.ivf.insert(
-                packed, np.asarray(emb_ids, np.int64), cids=cids
-            )
             state.doc_map.update(zip(emb_ids, per_emb_doc))
-            state.sharded = None  # read replica is stale until next rebuild
+        state.sharded = None  # read replica is stale until next rebuild
+        self._upload_batches += 1
+        self._upload_rows += len(ins_emb)
 
-            # 8. overflow pressure: if the spill tail outgrows 10% of the
-            #    corpus, re-pack buckets against the current centroids (the
-            #    reference's global repair is the next RefreshCentroids;
-            #    this bounds scan cost in between)
-            spill = state.ivf.spill.live
-            if spill > 1024 and spill > state.ivf.n_live // 10:
-                sugar().info(
-                    "category %d spill %d rows: compacting buckets",
-                    category.id, spill,
-                )
-                state.ivf = state.ivf.compact()
-
-        sugar().info("%d upload: %d documents, %d embeddings", txid, len(doc_ids), len(emb_ids))
-        return doc_ids
+        # 8. overflow pressure: if the spill tail outgrows 10% of the
+        #    corpus, re-pack buckets against the current centroids (the
+        #    reference's global repair is the next RefreshCentroids;
+        #    this bounds scan cost in between)
+        spill = state.ivf.spill.live
+        if spill > 1024 and spill > state.ivf.n_live // 10:
+            sugar().info(
+                "category %d spill %d rows: compacting buckets",
+                category_id, spill,
+            )
+            state.ivf = state.ivf.compact()
 
     # ----------------------------------------------------------------- search
 
@@ -713,7 +821,14 @@ class Engine:
                     int(np.prod(ivf.buckets.codes.shape)) if ivf else 0
                 ),
             }
-        return {"categories": cats, "batcher": self._batcher.stats()}
+        return {
+            "categories": cats,
+            "batcher": self._batcher.stats(),
+            "upload_batcher": {
+                "batches": self._upload_batches,
+                "rows": self._upload_rows,
+            },
+        }
 
     # ---------------------------------------------------------------- rebuild
 
@@ -803,6 +918,9 @@ class Engine:
                 from ..parallel import ShardedIVF
 
                 if added.size or removed.size:
+                    # new_ivf is immutable (post-swap uploads rebind
+                    # state.ivf to NEW objects), so this export is
+                    # consistent and reassign covers every row exactly
                     rep_packed, rep_ids = new_ivf.export_live()
                     rep_assign = np.asarray(
                         [reassign[int(e)] for e in rep_ids], np.int32
