@@ -462,3 +462,36 @@ def test_upload_batch_failure_isolated():
     assert store.count_embeddings(cat.id) == 3  # seed + good1 + good2
     eng.close()
     store.close()
+
+
+def test_upload_batch_insert_failure_fails_all():
+    """If the shared device insert throws AFTER per-request SQL commits,
+    every batch member must see the error (no rows reached HBM; the
+    orphaned SQL rows are healed by the next sync_with_store reload)."""
+    from vectorsearch_tpu.index import IVFIndex
+
+    store = Store(":memory:")
+    eng = Engine(store, WordHashAI(), cache=EngineCache(ttl=0.0))
+    eng.upload("o", "c", [{"name": "seed", "document": {"text": "seed row"}}])
+    cat = store.get_category(store.get_owner("o").id, "c")
+    state = eng._state_for(cat.id, create=False)
+    n_before = state.ivf.n_live
+
+    real_insert = IVFIndex.insert
+    def exploding(self, *a, **kw):
+        raise RuntimeError("injected insert failure")
+    IVFIndex.insert = exploding
+    try:
+        with pytest.raises(RuntimeError, match="injected insert"):
+            eng.upload("o", "c", [{"name": "x", "document": {"text": "boom row"}}])
+    finally:
+        IVFIndex.insert = real_insert
+
+    assert state.ivf.n_live == n_before  # nothing reached HBM
+    # DB has the orphan; sync heals it into the index
+    assert store.count_embeddings(cat.id) > n_before
+    eng.sync_with_store()
+    hits = eng.search("o", "c", "boom row", count=1, centroids=-1)
+    assert hits and hits[0].name == "x"
+    eng.close()
+    store.close()

@@ -363,8 +363,13 @@ class Engine:
                 try:
                     self._process_upload_batch(state, category.id, jobs)
                 except BaseException as e:
+                    # a batch-level failure means NO rows reached the HBM
+                    # index (state.ivf swaps only after a successful
+                    # insert), so even jobs whose SQL txn committed must
+                    # fail — their orphaned rows are healed by the next
+                    # sync_with_store reload (DB-as-truth)
                     for j in jobs:
-                        if j.error is None and j.result is None:
+                        if j.error is None:
                             j.error = e
                 finally:
                     for j in jobs:
@@ -494,14 +499,18 @@ class Engine:
         # 8. overflow pressure: if the spill tail outgrows 10% of the
         #    corpus, re-pack buckets against the current centroids (the
         #    reference's global repair is the next RefreshCentroids;
-        #    this bounds scan cost in between)
-        spill = state.ivf.spill.live
-        if spill > 1024 and spill > state.ivf.n_live // 10:
-            sugar().info(
-                "category %d spill %d rows: compacting buckets",
-                category_id, spill,
-            )
-            state.ivf = state.ivf.compact()
+        #    this bounds scan cost in between). Maintenance only — a
+        #    failure here must NOT fail the (already indexed) uploads.
+        try:
+            spill = state.ivf.spill.live
+            if spill > 1024 and spill > state.ivf.n_live // 10:
+                sugar().info(
+                    "category %d spill %d rows: compacting buckets",
+                    category_id, spill,
+                )
+                state.ivf = state.ivf.compact()
+        except Exception as e:
+            sugar().warning("post-upload compaction failed: %s", e)
 
     # ----------------------------------------------------------------- search
 
