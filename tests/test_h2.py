@@ -226,6 +226,43 @@ def test_h2_oversize_body_reset_not_dispatched(monkeypatch):
     asyncio.run(run())
 
 
+def test_h2_oversize_reset_replenishes_connection_window(monkeypatch):
+    """The reset path must still replenish the CONNECTION window (else it
+    leaks and eventually wedges every stream), and a trailer arriving for
+    the reset stream must not create a ghost stream or dispatch."""
+    from vectorsearch_tpu.api import h2 as h2mod
+
+    monkeypatch.setattr(h2mod, "MAX_BODY", 8)
+
+    async def run():
+        conn, codec, dispatched = _conn_and_codec()
+        sent = []
+        orig_send = conn._send
+
+        async def record(ftype, flags, sid, payload=b""):
+            sent.append((ftype, sid))
+            await orig_send(ftype, flags, sid, payload)
+
+        conn._send = record
+        await conn._frame(
+            h2mod.HEADERS, h2mod.FLAG_END_HEADERS, 1, _req_block(codec)
+        )
+        await conn._frame(h2mod.DATA, 0, 1, b"0123456789abcdef")
+        assert (h2mod.RST_STREAM, 1) in sent
+        assert (h2mod.WINDOW_UPDATE, 0) in sent  # connection replenished
+        assert (h2mod.WINDOW_UPDATE, 1) not in sent  # stream is dead
+        # trailers for the reset stream: HPACK consumed, nothing revived
+        trailer = codec.encode([(b"x-sum", b"1")])
+        await conn._frame(
+            h2mod.HEADERS,
+            h2mod.FLAG_END_HEADERS | h2mod.FLAG_END_STREAM, 1, trailer,
+        )
+        assert 1 not in conn.streams
+        assert dispatched == []
+
+    asyncio.run(run())
+
+
 def test_h2_cookie_crumbs_rejoined():
     """Split cookie fields (RFC 7540 8.1.2.5) rejoin with '; ' for h1."""
     from vectorsearch_tpu.api import h2 as h2mod

@@ -139,11 +139,19 @@ def main():
         best_s = np.full((N_QUERIES, TOPK), -np.inf, np.float32)
         best_i = np.zeros((N_QUERIES, TOPK), np.int64)
         done_upto = 0
+        # fingerprint ties a checkpoint to its inputs: a stale part file
+        # from a different corpus/query config must not silently merge
+        fprint = np.asarray(
+            [N, N_QUERIES, TOPK, int(os.path.getmtime(CORPUS))], np.int64
+        )
         if os.path.exists(truth_part):
             pz = np.load(truth_part)
-            best_s, best_i = pz["best_s"], pz["best_i"]
-            done_upto = int(pz["done_upto"])
-            log("serve10m: resuming ground truth at slab %d", done_upto)
+            if "fprint" in pz.files and np.array_equal(pz["fprint"], fprint):
+                best_s, best_i = pz["best_s"], pz["best_i"]
+                done_upto = int(pz["done_upto"])
+                log("serve10m: resuming ground truth at slab %d", done_upto)
+            else:
+                log("serve10m: stale truth checkpoint (fingerprint mismatch), restarting")
         for start, block in regen_slabs():
             if start < done_upto:
                 continue
@@ -156,7 +164,7 @@ def main():
             best_i = np.take_along_axis(cat_i, take, axis=1)
             tmp = truth_part[:-4] + ".tmp.npz"
             np.savez(tmp, best_s=best_s, best_i=best_i,
-                     done_upto=start + len(block))
+                     done_upto=start + len(block), fprint=fprint)
             os.replace(tmp, truth_part)
             log("serve10m: truth slab %d done (%.0fs)", start, time.perf_counter() - t0)
         truth = best_i

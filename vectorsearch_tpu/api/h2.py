@@ -210,6 +210,7 @@ class H2Connection:
         self.streams: dict[int, _Stream] = {}
         self.tasks: dict[int, asyncio.Task] = {}
         self._wlock = asyncio.Lock()
+        self._max_sid = 0  # highest client stream id seen (trailer detect)
         self._hdr_stream: int | None = None  # CONTINUATION state
         self._hdr_frag = bytearray()
         self._hdr_end_stream = False
@@ -289,7 +290,13 @@ class H2Connection:
                 frag = frag[5:]
             if pad:
                 frag = frag[:-pad]
-            self._hdr_trailer = sid in self.streams
+            # HEADERS for a sid we've already seen but no longer track are
+            # trailers for a stream WE reset (e.g. oversize body) — the
+            # HPACK state must still be consumed, but no new stream may be
+            # created for them (a ghost stream would dispatch a spurious
+            # upstream request)
+            self._hdr_trailer = sid in self.streams or sid <= self._max_sid
+            self._max_sid = max(self._max_sid, sid)
             if not self._hdr_trailer:
                 self.streams[sid] = _Stream(sid, self.peer_initial_window)
             self._hdr_stream = sid
@@ -309,6 +316,7 @@ class H2Connection:
             if flags & FLAG_PADDED:
                 pad = data[0]
                 data = data[1 : len(data) - pad]
+            reset = False
             if st is not None:
                 st.body.extend(data)
                 if len(st.body) > MAX_BODY:
@@ -316,15 +324,18 @@ class H2Connection:
                         RST_STREAM, 0, sid, struct.pack("!I", 0xB)
                     )  # ENHANCE_YOUR_CALM
                     self.streams.pop(sid, None)
-                    return True  # reset: never dispatch the oversize body
-                if flags & FLAG_END_STREAM:
+                    reset = True  # never dispatch the oversize body
+                elif flags & FLAG_END_STREAM:
                     st.end_stream = True
                     self._dispatch(st)
-            # replenish both windows (we buffer whole bodies like the h1 app)
+            # replenish both windows (we buffer whole bodies like the h1
+            # app). The CONNECTION window must be replenished even on the
+            # reset path — skipping it leaks connection flow-control
+            # window and eventually wedges every stream on the connection.
             if payload:
                 inc = struct.pack("!I", len(payload))
                 await self._send(WINDOW_UPDATE, 0, 0, inc)
-                if sid in self.streams or st is not None:
+                if not reset and st is not None:
                     await self._send(WINDOW_UPDATE, 0, sid, inc)
         elif ftype == PING:
             if not flags & FLAG_ACK:

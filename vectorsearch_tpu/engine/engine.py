@@ -18,6 +18,7 @@ in-process analogue of the reference's Postgres SHARE NOWAIT row lock
 """
 from __future__ import annotations
 
+import functools
 import threading
 from dataclasses import dataclass, field
 from typing import Any, Iterator
@@ -114,7 +115,10 @@ class Engine:
         self.cache = cache or EngineCache()
         self.cache.start()
         self._batcher = QueryBatcher()
-        # upload coalescing observability (tests + /api/stats)
+        # upload coalescing observability (tests + /api/stats); the
+        # counters are engine-wide while uploads hold only per-category
+        # locks, so they need their own lock
+        self._upload_stats_lock = threading.Lock()
         self._upload_batches = 0
         self._upload_rows = 0
         self._holder = uuid.uuid4().hex  # build-lock identity
@@ -356,24 +360,40 @@ class Engine:
             state.upload_queue.append(job)
             leader = state.upload_queue[0] is job
         if leader:
-            with state.lock:
-                with state.upload_qlock:
-                    jobs = list(state.upload_queue)
-                    state.upload_queue.clear()
-                try:
-                    self._process_upload_batch(state, category.id, jobs)
-                except BaseException as e:
-                    # a batch-level failure means NO rows reached the HBM
-                    # index (state.ivf swaps only after a successful
-                    # insert), so even jobs whose SQL txn committed must
-                    # fail — their orphaned rows are healed by the next
-                    # sync_with_store reload (DB-as-truth)
+            jobs = None
+            try:
+                with state.lock:
+                    with state.upload_qlock:
+                        jobs = list(state.upload_queue)
+                        state.upload_queue.clear()
+                    try:
+                        self._process_upload_batch(state, category.id, jobs)
+                    except BaseException as e:
+                        # a batch-level failure means NO rows reached the
+                        # HBM index (state.ivf swaps only after a
+                        # successful insert), so even jobs whose SQL txn
+                        # committed must fail — their orphaned rows are
+                        # healed by the next sync_with_store reload
+                        # (DB-as-truth)
+                        for j in jobs:
+                            if j.error is None:
+                                j.error = e
+                    finally:
+                        for j in jobs:
+                            j.done.set()
+            except BaseException as e:
+                # leader died BEFORE draining (e.g. interrupted acquiring
+                # state.lock): fail and wake the whole queue — followers
+                # must never wait on a leader that no longer exists
+                if jobs is None:
+                    with state.upload_qlock:
+                        jobs = list(state.upload_queue)
+                        state.upload_queue.clear()
                     for j in jobs:
                         if j.error is None:
                             j.error = e
-                finally:
-                    for j in jobs:
                         j.done.set()
+                raise
         else:
             job.done.wait()
         if job.error is not None:
@@ -417,15 +437,9 @@ class Engine:
             return
 
         # 5. assign to nearest centroid — ONE device dispatch for the batch
-        if len(valid) == 1:
-            batch_packed = valid[0].packed
-        else:
-            batch_packed = PackedVectors(
-                *[
-                    np.concatenate([np.asarray(getattr(j.packed, f)) for j in valid])
-                    for f in PackedVectors._fields
-                ]
-            )
+        batch_packed = functools.reduce(
+            layout.concat, (j.packed for j in valid)
+        )
         cids = state.ivf.assign(batch_packed)
 
         # 6. persist documents + embeddings, ONE transaction PER REQUEST (a
@@ -493,8 +507,9 @@ class Engine:
             ]
             state.doc_map.update(zip(emb_ids, per_emb_doc))
         state.sharded = None  # read replica is stale until next rebuild
-        self._upload_batches += 1
-        self._upload_rows += len(ins_emb)
+        with self._upload_stats_lock:
+            self._upload_batches += 1
+            self._upload_rows += len(ins_emb)
 
         # 8. overflow pressure: if the spill tail outgrows 10% of the
         #    corpus, re-pack buckets against the current centroids (the

@@ -92,9 +92,6 @@ def _grouped_kernel(
     out_ref[0] = dots * a_ref[0] + qsum_ref[0] * bv_ref[0] + bias_ref[0]
 
 
-@functools.partial(
-    jax.jit, static_argnames=("nprobe", "k", "interpret", "approx", "qt_max")
-)
 def ivf_scan_pallas(
     queries: jax.Array,
     centroids_n: jax.Array,
@@ -107,7 +104,36 @@ def ivf_scan_pallas(
     approx: bool = False,
     qt_max: int | None = None,
 ):
-    """Drop-in replacement for index.ivf._ivf_scan (same signature/returns)."""
+    """Drop-in replacement for index.ivf._ivf_scan (same signature/returns).
+
+    The env default for qt_max resolves HERE, outside jit, so the
+    resolved int is the cache key — an env change between calls would
+    otherwise hit the stale trace for qt_max=None and be silently
+    ignored."""
+    if qt_max is None:
+        qt_max = _qt_max()
+    return _ivf_scan_pallas(
+        queries, centroids_n, buckets, counts, bucket_mask,
+        nprobe=nprobe, k=k, interpret=interpret, approx=approx,
+        qt_max=qt_max,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nprobe", "k", "interpret", "approx", "qt_max")
+)
+def _ivf_scan_pallas(
+    queries: jax.Array,
+    centroids_n: jax.Array,
+    buckets: PackedVectors,
+    counts: jax.Array,
+    bucket_mask: jax.Array,
+    nprobe: int,
+    k: int,
+    interpret: bool = False,
+    approx: bool = False,
+    qt_max: int = 32,
+):
     b = queries.shape[0]
     kk, cap, d = buckets.codes.shape
     nprobe = max(1, min(nprobe, kk))
@@ -128,7 +154,7 @@ def ivf_scan_pallas(
     # per cluster. QT ~ 2x the mean pairs/cluster keeps most groups full
     # (read amplification) without padding waste (compute).
     p = b * nprobe
-    qt = max(8, min(qt_max or _qt_max(), _next_pow2(-(-2 * p // kk))))
+    qt = max(8, min(qt_max, _next_pow2(-(-2 * p // kk))))
     # sum_c ceil(m_c/QT) <= P//QT + #distinct <= P//QT + min(K, P)
     g_max = p // qt + min(kk, p)
 
