@@ -18,15 +18,14 @@ import threading
 from aiohttp import web
 
 # Persistent XLA compile cache (huge win through the remote-TPU tunnel;
-# harmless elsewhere). Must be set before the first device use.
+# harmless elsewhere). Config-only — safe before jax.distributed; the
+# device-touching warm-up thread starts in main() AFTER the optional
+# multi-host initialize (jax.distributed.initialize refuses to run once
+# any XLA backend is initialized).
 try:
-    from vectorsearch_tpu.utils import enable_compile_cache, warm_device_transfer
+    from vectorsearch_tpu.utils import enable_compile_cache
 
     enable_compile_cache()
-    # Absorb the tunnel's 130-424s first-D2H stall while the boot's
-    # host-only phases run (SQL streaming, wire packing). See
-    # utils/profiling.py warm_device_transfer.
-    warm_device_transfer()
 except Exception:
     pass
 
@@ -152,6 +151,29 @@ def main(argv: list[str]) -> int:
     cfg = config_mod.load(config_path)
     configure(cfg.log_level)
 
+    if cfg.mesh.coordinator:
+        # multi-host: join the distributed runtime BEFORE ANY device use —
+        # jax.distributed.initialize raises once an XLA backend exists, so
+        # this must precede the warm-up thread AND preftest
+        # (parallel/distributed.py)
+        from vectorsearch_tpu.parallel.distributed import maybe_initialize
+
+        maybe_initialize(
+            cfg.mesh.coordinator, cfg.mesh.num_processes, cfg.mesh.process_id
+        )
+        sugar().info(
+            "distributed runtime: process %d/%d via %s",
+            cfg.mesh.process_id, cfg.mesh.num_processes, cfg.mesh.coordinator,
+        )
+    # Absorb the tunnel's first-D2H stall while the boot's host-only
+    # phases run (SQL streaming, wire packing) — see utils/profiling.py.
+    try:
+        from vectorsearch_tpu.utils import warm_device_transfer
+
+        warm_device_transfer()
+    except Exception:
+        pass
+
     ai = AI.from_config(cfg, use_noop=os.environ.get("VSTPU_NOOP_AI") == "1")
     preftest()
 
@@ -167,18 +189,6 @@ def main(argv: list[str]) -> int:
             cfg.database.sqlite,
         )
     mesh = None
-    if cfg.mesh.coordinator:
-        # multi-host: join the distributed runtime BEFORE first device use
-        # so jax.devices() is the global list (parallel/distributed.py)
-        from vectorsearch_tpu.parallel.distributed import maybe_initialize
-
-        maybe_initialize(
-            cfg.mesh.coordinator, cfg.mesh.num_processes, cfg.mesh.process_id
-        )
-        sugar().info(
-            "distributed runtime: process %d/%d via %s",
-            cfg.mesh.process_id, cfg.mesh.num_processes, cfg.mesh.coordinator,
-        )
     if cfg.mesh.shard_serving:
         from vectorsearch_tpu.parallel.distributed import global_mesh
 
@@ -196,15 +206,23 @@ def main(argv: list[str]) -> int:
     else:
         store = Store(cfg.database.sqlite)
     if cfg.database.serve_store:
-        from vectorsearch_tpu.store.remote import StoreServer
+        if not isinstance(store, Store):
+            # serving while mounted on another host's store would export a
+            # fresh empty sqlite file, silently diverging from the store
+            # this instance actually uses — a config error, not a feature
+            sugar().error(
+                "database.serve_store ignored: this instance mounts a "
+                "remote store (%s); point other hosts at that server "
+                "instead", cfg.database.remote,
+            )
+        else:
+            from vectorsearch_tpu.store.remote import StoreServer
 
-        host, _, port = cfg.database.serve_store.rpartition(":")
-        store_server = StoreServer(
-            store if isinstance(store, Store) else Store(cfg.database.sqlite),
-            host or "0.0.0.0",
-            int(port),
-        ).start()
-        sugar().info("store server listening on %s", store_server.address)
+            host, _, port = cfg.database.serve_store.rpartition(":")
+            store_server = StoreServer(
+                store, host or "0.0.0.0", int(port)
+            ).start()
+            sugar().info("store server listening on %s", store_server.address)
     engine = Engine(store, ai, snapshot_dir=cfg.database.snapshots, mesh=mesh)
 
     # one-shot background index refresh at startup (reference: main.go:92),

@@ -162,3 +162,38 @@ print("MULTIPROCESS_OK", pid, flush=True)
         outs.append((out, err))
     for pid, (out, err) in enumerate(outs):
         assert f"MULTIPROCESS_OK {pid}" in out, (pid, out, err[-3000:])
+
+
+def test_main_import_leaves_distributed_init_possible(tmp_path):
+    """Importing main must not start the device-touching warm-up thread:
+    jax.distributed.initialize refuses to run once any XLA backend is
+    initialized, so a mesh.coordinator deployment must still be able to
+    init AFTER import (regression: warm_device_transfer at import time)."""
+    import os
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    script = tmp_path / "probe.py"
+    script.write_text(
+        r"""
+import sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, sys.argv[1])
+import main  # noqa: F401  (must not touch a device)
+from vectorsearch_tpu.utils import profiling
+assert profiling._WARM_THREAD is None, "warm thread started at import"
+from vectorsearch_tpu.parallel.distributed import maybe_initialize
+assert maybe_initialize(sys.argv[2], num_processes=1, process_id=0)
+assert jax.process_count() == 1
+print("IMPORT_ORDER_OK")
+"""
+    )
+    env = dict(os.environ)
+    out = subprocess.run(
+        [sys.executable, str(script), os.getcwd(), f"127.0.0.1:{port}"],
+        capture_output=True, text=True, timeout=120, env=env, cwd=os.getcwd(),
+    )
+    assert "IMPORT_ORDER_OK" in out.stdout, (out.stdout, out.stderr[-2000:])

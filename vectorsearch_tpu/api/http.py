@@ -57,11 +57,19 @@ async def _read_json(request: web.Request):
             parts = []
             total = 0
             async for chunk in request.content.iter_chunked(1 << 16):
-                part = dctx.decompress(chunk)
-                total += len(part)
-                if total > MAX_DECOMPRESSED:
-                    raise ValueError("decompressed body too large")
-                parts.append(part)
+                # feed the decompressor in small slices: one RLE block
+                # expands ~4 B -> 128 KB, so a single 64 KB input chunk
+                # could balloon to ~2 GB in one decompress() call before
+                # the cap is ever checked; 1 KB slices bound the
+                # per-call transient to ~32 MB
+                view = memoryview(chunk)
+                for off in range(0, len(view), 1024):
+                    part = dctx.decompress(view[off : off + 1024])
+                    total += len(part)
+                    if total > MAX_DECOMPRESSED:
+                        raise ValueError("decompressed body too large")
+                    if part:
+                        parts.append(part)
             body = b"".join(parts)
         except ImportError:  # pragma: no cover - zstd present in image
             from ..store.db import decompress
@@ -246,15 +254,23 @@ def build_app(engine: Engine) -> web.Application:
     )
 
     # ---- static UI + API docs (reference: static/static.go, ui/) ----
-    # compressed like the reference's "/" FileServer route (main.go:178)
+    # compressed like the reference's "/" FileServer route (main.go:178);
+    # assets are immutable per process, so raw + compressed bytes are
+    # computed once, not per request
     def static_handler(name: str, ctype: str):
         path = os.path.join(STATIC_DIR, name)
+        with open(path, "rb") as f:
+            raw = f.read()
+        zbody = compress(raw) if len(raw) > 64 else raw
+        zheaders = {"Content-Encoding": "zstd"} if len(raw) > 64 else {}
 
         async def serve(request):
-            with open(path, "rb") as f:
-                raw = f.read()
-            body, headers = _maybe_compress(request, raw)
-            return web.Response(body=body, content_type=ctype, headers=headers)
+            accepts = request.headers.get("Accept-Encoding", "")
+            if "zstd" in accepts.lower() and zheaders:
+                return web.Response(
+                    body=zbody, content_type=ctype, headers=zheaders
+                )
+            return web.Response(body=raw, content_type=ctype)
 
         return serve
 

@@ -329,7 +329,8 @@ class IVFIndex:
             b_max = max(1, (2 << 30) // max(1, bytes_per_q))
         else:
             # XLA path materializes the [B*nprobe, cap, D] bucket gather
-            bytes_per_q = nprobe * self.cap * (self.dim + 16)
+            # (int8) PLUS its bf16 cast for the dot — 3x dim per row
+            bytes_per_q = nprobe * self.cap * (3 * self.dim + 16)
             b_max = max(1, (2 << 30) // max(1, bytes_per_q))
 
         def one(qs):
