@@ -91,7 +91,12 @@ async def serve(cfg: config_mod.Config, engine: Engine):
     # auto_decompress=False: aiohttp's parser has no zstd codec; the app's
     # middleware decompresses request bodies itself (reference middleware:
     # main.go:129-166)
-    runner = web.AppRunner(app, auto_decompress=False)
+    # handler_cancellation: client disconnects cancel the handler task,
+    # which trips the engine's cancel token (reference aborts on ctx.Err()
+    # at every stage, server/search.go:86-91); off by default in aiohttp>=3.9
+    runner = web.AppRunner(
+        app, auto_decompress=False, handler_cancellation=True
+    )
     await runner.setup()
 
     http_host, http_port = _addr(cfg.server.http_address)

@@ -58,7 +58,9 @@ def run(engine, coro_fn):
     async def runner():
         app = build_app(engine)
         # production config: zstd handled by app middleware, not the parser
-        app_runner = web.AppRunner(app, auto_decompress=False)
+        app_runner = web.AppRunner(
+            app, auto_decompress=False, handler_cancellation=True
+        )
         await app_runner.setup()
         site = web.TCPSite(app_runner, "127.0.0.1", 0)
         await site.start()
@@ -302,3 +304,58 @@ def test_chat_with_inline_documents(engine):
         assert "inline: doc." in final
 
     run(engine, flow)
+
+
+def test_client_disconnect_cancels_engine(engine):
+    """A client that disconnects mid-request must make the engine abort
+    between stages instead of finishing work for nobody (reference checks
+    ctx.Err() at every stage, server/search.go:86-91)."""
+    import threading
+
+    engine.upload("alice", "docs", FRUIT_DOCS)
+    d0 = engine._batcher.stats()["dispatches"]
+
+    embed_entered = threading.Event()
+    release_embed = threading.Event()
+    aborted = {}
+
+    class SlowEmbedAI(WordHashAI):
+        def embed(self, inputs, model=None):
+            out = super().embed(inputs, model)
+            if any("search_query" in s for s in inputs):
+                embed_entered.set()
+                release_embed.wait(5)  # hold until the client disconnects
+            return out
+
+    real_search = type(engine).search
+
+    engine.ai = SlowEmbedAI()
+
+    async def scenario(client):
+        loop = asyncio.get_running_loop()
+        task = asyncio.ensure_future(
+            client.post("/api/search", json={
+                "owner": "alice", "category": "docs", "text": "banana",
+            })
+        )
+        await loop.run_in_executor(None, embed_entered.wait, 5)
+        task.cancel()  # client goes away mid-embed
+        try:
+            await task
+        except (asyncio.CancelledError, aiohttp.ClientError):
+            pass
+        # let the connection teardown reach the handler task (which sets
+        # the engine's cancel token) BEFORE the embed returns
+        await asyncio.sleep(0.3)
+        release_embed.set()
+        # give the executor thread a moment to hit the cancel check
+        await asyncio.sleep(0.5)
+        return None
+
+    try:
+        run(engine, scenario)
+    finally:
+        engine.ai = WordHashAI()
+        release_embed.set()
+    # the engine never dispatched to the device for the dead client
+    assert engine._batcher.stats()["dispatches"] == d0

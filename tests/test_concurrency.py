@@ -466,8 +466,10 @@ def test_upload_batch_failure_isolated():
 
 def test_upload_batch_insert_failure_fails_all():
     """If the shared device insert throws AFTER per-request SQL commits,
-    every batch member must see the error (no rows reached HBM; the
-    orphaned SQL rows are healed by the next sync_with_store reload)."""
+    every batch member must see the error AND the committed SQL rows must
+    be rolled back — otherwise a client that retries after the error would
+    end up with duplicate documents once sync_with_store heals the orphans
+    (ADVICE r2: the failure path is exactly-zero, not at-least-once)."""
     from vectorsearch_tpu.index import IVFIndex
 
     store = Store(":memory:")
@@ -488,10 +490,68 @@ def test_upload_batch_insert_failure_fails_all():
         IVFIndex.insert = real_insert
 
     assert state.ivf.n_live == n_before  # nothing reached HBM
-    # DB has the orphan; sync heals it into the index
-    assert store.count_embeddings(cat.id) > n_before
-    eng.sync_with_store()
-    hits = eng.search("o", "c", "boom row", count=1, centroids=-1)
-    assert hits and hits[0].name == "x"
+    # the committed SQL rows were rolled back: a retry cannot duplicate
+    assert store.count_embeddings(cat.id) == n_before
+    assert eng.sync_with_store() == []  # nothing diverged, nothing to heal
+    # retry succeeds cleanly with exactly one copy
+    eng.upload("o", "c", [{"name": "x", "document": {"text": "boom row"}}])
+    hits = eng.search("o", "c", "boom row", count=5, centroids=-1)
+    assert [h.name for h in hits].count("x") == 1
+    eng.close()
+    store.close()
+
+
+def test_upload_batch_failure_raises_fresh_exception_per_waiter():
+    """Every waiter of a failed batch must get its OWN exception instance
+    (concurrent re-raise of one shared instance interleaves __traceback__
+    mutation across threads), chained to the one underlying cause."""
+    from vectorsearch_tpu.engine.engine import UploadError
+    from vectorsearch_tpu.index import IVFIndex
+
+    store = Store(":memory:")
+    eng = Engine(store, WordHashAI(), cache=EngineCache(ttl=0.0))
+    eng.upload("o", "c", [{"name": "seed", "document": {"text": "seed row"}}])
+    cat = store.get_category(store.get_owner("o").id, "c")
+    state = eng._state_for(cat.id, create=False)
+
+    real_insert = IVFIndex.insert
+    start = threading.Barrier(3)
+    def exploding(self, *a, **kw):
+        raise RuntimeError("injected insert failure")
+    def slow_batch(orig):
+        def wrapped(self2, st, cid, jobs):
+            time.sleep(0.2)  # let followers queue behind the leader
+            return orig(self2, st, cid, jobs)
+        return wrapped
+
+    errors = {}
+    def worker(name):
+        start.wait()
+        try:
+            eng.upload("o", "c", [{"name": name, "document": {"text": name}}])
+        except Exception as e:
+            errors[name] = e
+
+    IVFIndex.insert = exploding
+    # serialize arrivals through the leader's sleep so they coalesce
+    real_process = Engine._process_upload_batch
+    Engine._process_upload_batch = slow_batch(real_process)
+    try:
+        threads = [
+            threading.Thread(target=worker, args=(f"w{i}",)) for i in range(3)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+    finally:
+        IVFIndex.insert = real_insert
+        Engine._process_upload_batch = real_process
+
+    assert len(errors) == 3
+    insts = list(errors.values())
+    assert all(isinstance(e, UploadError) for e in insts)
+    assert len({id(e) for e in insts}) == 3  # distinct instances
+    assert all(isinstance(e.__cause__, RuntimeError) for e in insts)
     eng.close()
     store.close()

@@ -441,3 +441,97 @@ def test_snapshot_corrupt_file_falls_back(tmp_path):
     assert hits and hits[0].document_id == ids[1]
     eng2.close()
     store.close()
+
+
+# ---------------------------------------------------------- deep pagination
+
+
+class TinyCtxAI(WordHashAI):
+    """ctx 9 -> max_words 2: every ~2-word line becomes its own section,
+    so documents fan out to many embeddings and dedup shrinks the
+    candidate set (the deep-pagination trigger)."""
+
+    def embed_ctx_num(self):
+        return 9
+
+
+def test_deep_pagination_returns_exact_window(tmp_path):
+    """Reference semantics: any offset window is exact
+    (server/search.go:256-270 scans everything). With 8 identical
+    sections per document the initial k class holds only k/8 unique docs,
+    so deep windows force the escalation re-dispatch path."""
+    store = Store(":memory:")
+    eng = Engine(store, TinyCtxAI(), cache=EngineCache(ttl=0.0))
+    n_docs = 48
+    docs = [
+        {
+            "name": f"d{i:02d}",
+            # 8 identical 2-word lines -> 8 identical sections/embeddings
+            "document": {"text": "\n".join([f"word{i:02d} tok{i:02d}"] * 8)},
+        }
+        for i in range(n_docs)
+    ]
+    eng.upload("o", "deep", docs)
+    st = eng._state_for(store.get_category(store.get_owner("o").id, "deep").id,
+                        create=False)
+    assert st.ivf.n_live >= 8 * n_docs  # sections really fanned out
+
+    # target one doc's words so ordering is deterministic-ish; scan all
+    # clusters so the pool is the whole corpus
+    pages = []
+    for offset in range(0, n_docs, 12):
+        hits = eng.search("o", "deep", "word07 tok07", count=12,
+                          offset=offset, centroids=-1)
+        pages.append(hits)
+    # every full window before the end must be complete (48 docs total)
+    assert [len(p) for p in pages] == [12, 12, 12, 12]
+    names = [h.name for p in pages for h in p]
+    assert len(set(names)) == n_docs  # disjoint, exhaustive pages
+    # scores are non-increasing across page boundaries
+    sims = [h.similarity for p in pages for h in p]
+    assert all(s1 >= s2 - 1e-6 for s1, s2 in zip(sims, sims[1:]))
+    eng.close()
+    store.close()
+
+
+# ------------------------------------------------------------ client cancel
+
+
+def test_search_cancel_aborts_before_dispatch(engine):
+    import threading
+
+    from vectorsearch_tpu.engine.engine import RequestCanceled
+
+    engine.upload("alice", "docs", FRUIT_DOCS)
+    d0 = engine._batcher.stats()["dispatches"]
+
+    cancel = threading.Event()
+
+    class DisconnectDuringEmbed(WordHashAI):
+        def embed(self, inputs, model=None):
+            out = super().embed(inputs, model)
+            cancel.set()  # client went away while the provider worked
+            return out
+
+    engine.ai = DisconnectDuringEmbed()
+    try:
+        with pytest.raises(RequestCanceled):
+            engine.search("alice", "docs", "banana", count=2, cancel=cancel)
+    finally:
+        engine.ai = WordHashAI()
+    # the engine aborted BEFORE the device dispatch
+    assert engine._batcher.stats()["dispatches"] == d0
+    # an uncancelled search still works
+    assert engine.search("alice", "docs", "banana", count=1)
+
+
+def test_upload_cancel_aborts_before_persist(engine):
+    import threading
+
+    from vectorsearch_tpu.engine.engine import RequestCanceled
+
+    cancel = threading.Event()
+    cancel.set()
+    with pytest.raises(RequestCanceled):
+        engine.upload("alice", "docs", FRUIT_DOCS, cancel=cancel)
+    assert engine.fetch_category_names("alice") == []  # nothing persisted

@@ -23,10 +23,12 @@ from __future__ import annotations
 import asyncio
 import json
 import os
+import threading
 
 from aiohttp import web
 
 from ..engine import Engine
+from ..engine.engine import RequestCanceled
 from ..logger import next_txid, sugar
 from ..store.db import compress
 
@@ -123,13 +125,31 @@ def build_app(engine: Engine) -> web.Application:
                 req = await _read_json(request)
             except Exception:
                 return _json_error(400, "Invalid request")
+            # client-cancel propagation (reference: ctx.Err() checks at
+            # every stage, server/search.go:86-91): a disconnect cancels
+            # this coroutine; the engine call keeps running on its executor
+            # thread, so the cancel event tells it to abort between stages
+            # instead of holding the device semaphore for a dead client
+            cancel = threading.Event()
+            fut = asyncio.get_running_loop().run_in_executor(
+                None, fn, req, cancel
+            )
             try:
-                result = await asyncio.get_running_loop().run_in_executor(
-                    None, fn, req
-                )
+                result = await fut
             except asyncio.CancelledError:
-                sugar().warning("%d request canceled", txid)
+                cancel.set()
+                # the abandoned future would warn "exception never
+                # retrieved" when the engine raises RequestCanceled (the
+                # await's cancellation usually cancels the asyncio wrapper
+                # itself, in which case there is nothing to consume)
+                fut.add_done_callback(
+                    lambda f: None if f.cancelled() else f.exception()
+                )
+                sugar().warning("%d request canceled (499)", txid)
                 raise
+            except RequestCanceled:
+                sugar().warning("%d request canceled by engine (499)", txid)
+                return _json_error(499, "Client closed request")
             except (ValueError, KeyError, TypeError) as e:
                 sugar().warning("%d bad request: %s", txid, e)
                 return _json_error(400, "Invalid request")
@@ -141,7 +161,7 @@ def build_app(engine: Engine) -> web.Application:
         return wrapped
 
     # ---- search (server/search.go:45-112) ----
-    def do_search(req):
+    def do_search(req, cancel):
         hits = engine.search(
             req.get("owner", ""),
             req.get("category", ""),
@@ -149,6 +169,7 @@ def build_app(engine: Engine) -> web.Application:
             count=int(req.get("count", 0) or 0) or 1,
             offset=int(req.get("offset", 0) or 0),
             centroids=int(req.get("centroids", 0) or 0),
+            cancel=cancel,
         )
         return {
             "documents": [
@@ -164,25 +185,27 @@ def build_app(engine: Engine) -> web.Application:
         }
 
     # ---- upload (server/upload.go:40-108) ----
-    def do_upload(req):
+    def do_upload(req, cancel):
         docs = req.get("documents") or []
-        ids = engine.upload(req.get("owner", ""), req.get("category", ""), docs)
+        ids = engine.upload(
+            req.get("owner", ""), req.get("category", ""), docs, cancel=cancel
+        )
         return {"document_ids": ids}
 
     # ---- categories (server/fetch.go:27-97) ----
-    def do_categories(req):
+    def do_categories(req, cancel):
         return {"category_names": engine.fetch_category_names(req.get("owner", ""))}
 
     # ---- deletes (server/delete.go) ----
-    def do_delete_owner(req):
+    def do_delete_owner(req, cancel):
         engine.delete_owner(req.get("owner", ""))
         return {}
 
-    def do_delete_category(req):
+    def do_delete_category(req, cancel):
         engine.delete_category(req.get("owner", ""), req.get("category", ""))
         return {}
 
-    def do_delete_document(req):
+    def do_delete_document(req, cancel):
         engine.delete_document(
             req.get("owner", ""),
             req.get("category", ""),

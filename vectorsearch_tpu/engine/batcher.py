@@ -38,8 +38,9 @@ from .. import constants
 
 # Batch size classes: each class is one compiled program per (snapshot
 # shape, k, nprobe); through the remote-compile tunnel every new shape
-# costs 30-120 s, so classes are sparse — {1, 8, 64, max} — and
-# Engine.warmup precompiles the small ones.
+# costs 30-120 s, so classes are sparse — these three plus the
+# constants.MAX_QUERY_BATCH cap (=256 by default) — and Engine.warmup
+# precompiles ALL of them (a cold class means a mid-traffic compile).
 BATCH_CLASSES = (1, 8, 64)
 
 

@@ -11,8 +11,11 @@ unchanged over it, with psum/all_gather riding ICI.
 
 Host-side array placement must go through `put_sharded` (not bare
 `jax.device_put`): on a multi-host mesh a process can only address its
-own devices, so each process contributes its local row-block via
-`jax.make_array_from_process_local_data`.
+own devices. Every process passes the SAME host-global array and
+`put_sharded` carves out the shards its local devices own via
+`jax.make_array_from_callback` — do NOT pass process-local row blocks
+(that was the r2 bug: feeding local blocks doubled the global shape on
+multi-host meshes).
 
 Config wiring (config.py MeshConfig → main.py): set
 `mesh.coordinator` ("host0:1234"), `mesh.num_processes`, and
