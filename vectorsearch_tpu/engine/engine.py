@@ -35,6 +35,7 @@ from ..quant.layout import PackedVectors
 from ..store import Store, snapshots
 from .batcher import QueryBatcher
 from .cache import EngineCache
+from .docmap import DocMap
 from .textprep import document_prefix, flatten, split
 
 MAX_RESULTS = 20  # reference clamps count to [1, 20] (server/search.go:116)
@@ -57,6 +58,43 @@ def _check_cancel(cancel) -> None:
         raise RequestCanceled()
 
 
+def _process_rss() -> int | None:
+    """Host resident-set bytes (Linux); None where unavailable."""
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    return int(line.split()[1]) * 1024
+    except OSError:
+        pass
+    return None
+
+
+def _device_hbm_budget() -> int | None:
+    """Bytes of accelerator memory the packed indexes may occupy (None on
+    CPU hosts = no cap). 85% of the reported limit leaves room for scan
+    transients (score grids, refine gathers, batcher inputs).
+    VSTPU_HBM_BUDGET_GB overrides."""
+    import os
+
+    env = os.environ.get("VSTPU_HBM_BUDGET_GB")
+    if env:
+        return int(float(env) * 2**30)
+    try:
+        import jax
+
+        dev = jax.devices()[0]
+        if dev.platform == "cpu":
+            return None
+        stats = dev.memory_stats() or {}
+        limit = stats.get("bytes_limit")
+        if limit:
+            return int(limit * 0.85)
+    except Exception:
+        return None
+    return None
+
+
 def _k_class(want: int) -> int:
     """INITIAL over-fetch size class for `want` unique documents: pow2 so
     jit programs are reused across requests (k is a static shape
@@ -76,7 +114,7 @@ class CategoryState:
     category_id: int
     ivf: IVFIndex | None = None  # None until the first centroid exists
     centroid_db_ids: list[int] = field(default_factory=list)
-    doc_map: dict[int, int] = field(default_factory=dict)  # emb id -> doc id
+    doc_map: DocMap = field(default_factory=DocMap)  # emb id -> doc id
     lock: threading.RLock = field(default_factory=threading.RLock)
     build_lock: threading.Lock = field(default_factory=threading.Lock)
     # read replica sharded over the mesh; rebuilt at refresh time and
@@ -141,7 +179,23 @@ class Engine:
         self._holder = uuid.uuid4().hex  # build-lock identity
         self._states: dict[int, CategoryState] = {}
         self._states_lock = threading.Lock()
+        # capacity policy: packed indexes share this many bytes of device
+        # memory; IVFIndex.build degrades bucket headroom toward 1.0 to fit
+        self._hbm_budget = _device_hbm_budget()
         self._boot()
+
+    def _budget_for(self, category_id: int) -> int | None:
+        """Device-byte budget for ONE category's packed index: the global
+        budget minus what every OTHER category already occupies."""
+        if self._hbm_budget is None:
+            return None
+        with self._states_lock:
+            others = sum(
+                st.ivf.hbm_bytes
+                for cid, st in self._states.items()
+                if cid != category_id and st.ivf is not None
+            )
+        return max(0, self._hbm_budget - others)
 
     def close(self):
         """Graceful shutdown: snapshot every category for fast next boot
@@ -153,7 +207,9 @@ class Engine:
             for cid, st in states.items():
                 if st.ivf is not None and st.ivf.n_live > 0:
                     try:
-                        self._save_snapshot(cid, st.ivf, st.centroid_db_ids)
+                        self._save_snapshot(
+                            cid, st.ivf, st.centroid_db_ids, st.doc_map
+                        )
                     except Exception as e:
                         sugar().warning("snapshot of category %d failed: %s", cid, e)
         self.cache.close()
@@ -174,8 +230,6 @@ class Engine:
         if not cent_rows:
             return state
         state.centroid_db_ids = [r.id for r in cent_rows]
-        state.doc_map = self.store.embedding_doc_map(category_id)
-        t_meta = _time.perf_counter()
 
         centroids = np.stack(
             [
@@ -184,24 +238,50 @@ class Engine:
             ]
         ).astype(np.float32)
 
+        # snapshot-first: at 10M scale the SQL stream+pack+assign path
+        # costs minutes while the snapshot restore is one mmap'd npz read
+        # + device upload; the snapshot carries ids, assignments AND the
+        # emb->doc map so a hit touches SQL only for cheap staleness
+        # aggregates (count / max-id / centroid set)
         restored = self._try_restore_snapshot(
             category_id, centroids, state.centroid_db_ids
         )
         if restored is not None:
-            state.ivf = restored
+            state.ivf, doc_map = restored
+            state.doc_map = (
+                doc_map
+                if doc_map is not None
+                else DocMap(*self.store.embedding_doc_pairs(category_id))
+            )
+            sugar().info(
+                "category %d boot: %d rows from snapshot (%.1fs)",
+                category_id, state.ivf.n_live, _time.perf_counter() - t0,
+            )
             return state
 
         # Stream wire rows out of SQL and pack (boot fallback). Large read
         # batches + one bytes-join per batch: at millions of rows a
-        # per-row np.stack is a Python-loop bottleneck.
+        # per-row np.stack is a Python-loop bottleneck. centroid_id rides
+        # along, so the build below skips the device re-assignment pass
+        # (SQL holds the authoritative assignment).
+        db_cid_to_cluster = {
+            db_id: i for i, db_id in enumerate(state.centroid_db_ids)
+        }
         blobs: list[bytes] = []
         ids: list[int] = []
+        doc_ids: list[int] = []
+        cent_ids: list[int] = []
         row_len = None
         for batch in self.store.iter_embeddings(category_id, batch=50_000):
-            blobs.append(b"".join(vec for _eid, vec, _doc in batch))
-            ids.extend(eid for eid, _vec, _doc in batch)
+            blobs.append(b"".join(vec for _eid, vec, _doc, _cent in batch))
+            ids.extend(eid for eid, _vec, _doc, _cent in batch)
+            doc_ids.extend(doc for _eid, _vec, doc, _cent in batch)
+            cent_ids.extend(cent for _eid, _vec, _doc, cent in batch)
             if row_len is None and batch:
                 row_len = len(batch[0][1])
+        state.doc_map = DocMap(
+            np.asarray(ids, np.int64), np.asarray(doc_ids, np.int64)
+        )
         if not ids:
             state.ivf = IVFIndex.build(
                 layout.empty(centroids.shape[1]),
@@ -213,10 +293,28 @@ class Engine:
         wire = np.frombuffer(b"".join(blobs), np.uint8).reshape(len(ids), row_len)
         packed = layout.pack_wire(wire)
         t_pack = _time.perf_counter()
-        state.ivf = IVFIndex.build(packed, np.asarray(ids, np.int64), centroids)
+        # rows referencing a centroid not in the current set (orphans from
+        # another instance's mid-build insert) fall back to one device
+        # assignment pass for everything; with a consistent store the
+        # assignments come straight from SQL
+        try:
+            assignments = np.fromiter(
+                (db_cid_to_cluster[c] for c in cent_ids), np.int32, len(cent_ids)
+            )
+        except KeyError:
+            sugar().info(
+                "category %d has rows with unknown centroid ids; "
+                "re-assigning on device", category_id,
+            )
+            assignments = None
+        state.ivf = IVFIndex.build(
+            packed, np.asarray(ids, np.int64), centroids,
+            assignments=assignments,
+            hbm_budget=self._budget_for(category_id),
+        )
         sugar().info(
-            "category %d boot: %d rows (meta %.1fs, sql %.1fs, pack %.1fs, index %.1fs)",
-            category_id, len(ids), t_meta - t0, t_stream - t_meta,
+            "category %d boot: %d rows (sql %.1fs, pack %.1fs, index %.1fs)",
+            category_id, len(ids), t_stream - t0,
             t_pack - t_stream, _time.perf_counter() - t_pack,
         )
         return state
@@ -225,7 +323,10 @@ class Engine:
 
     def _try_restore_snapshot(
         self, category_id: int, centroids, centroid_db_ids: list[int]
-    ) -> IVFIndex | None:
+    ) -> tuple[IVFIndex, DocMap | None] | None:
+        """Returns (index, doc_map) on a snapshot hit; doc_map is None for
+        old-format snapshots without the emb->doc arrays (caller falls
+        back to one SQL aggregate query)."""
         if self.snapshot_dir is None:
             return None
         loaded = snapshots.load(self.snapshot_dir, f"cat-{category_id}")
@@ -263,15 +364,28 @@ class Engine:
             offset=arrays["offset"],
             inv_norm=arrays["inv_norm"],
         )
-        return IVFIndex.build(
+        doc_map = None
+        if "doc_ids" in arrays:
+            doc_ids = arrays["doc_ids"]
+            if doc_ids.size == 0 or doc_ids.min() >= 0:
+                doc_map = DocMap(arrays["ids"], doc_ids)
+            # negative entries mean the doc mapping raced a delete at save
+            # time; fall back to SQL rather than serve unknown doc ids
+        ivf = IVFIndex.build(
             packed,
             arrays["ids"],
             arrays.get("centroids", centroids),
             assignments=arrays.get("assignments"),
+            hbm_budget=self._budget_for(category_id),
         )
+        return ivf, doc_map
 
     def _save_snapshot(
-        self, category_id: int, ivf: IVFIndex, centroid_db_ids: list[int]
+        self,
+        category_id: int,
+        ivf: IVFIndex,
+        centroid_db_ids: list[int],
+        doc_map: DocMap | None = None,
     ):
         if self.snapshot_dir is None:
             return
@@ -294,6 +408,10 @@ class Engine:
         }
         if assignments is not None:
             arrays["assignments"] = assignments
+        if doc_map is not None:
+            # emb->doc map rides in the snapshot so a boot hit never scans
+            # the 10M-row embeddings table (snapshot-first boot)
+            arrays["doc_ids"] = doc_map.get_many(np.asarray(ids, np.int64))
         scope = f"cat-{category_id}"
         snapshots.save(
             self.snapshot_dir,
@@ -583,7 +701,9 @@ class Engine:
                     "category %d spill %d rows: compacting buckets",
                     category_id, spill,
                 )
-                state.ivf = state.ivf.compact()
+                state.ivf = state.ivf.compact(
+                    hbm_budget=self._budget_for(category_id)
+                )
         except Exception as e:
             sugar().warning("post-upload compaction failed: %s", e)
 
@@ -865,7 +985,7 @@ class Engine:
             # delete+upload pair keeps the count but raises MAX(id)
             # (AUTOINCREMENT is monotonic) — count alone would leave the
             # remote docs permanently unsearchable here
-            max_local = max(st.doc_map, default=0)
+            max_local = st.doc_map.max_key()
             if (
                 n_db != n_local
                 or max_db != max_local
@@ -947,9 +1067,8 @@ class Engine:
                 "bucket_capacity": ivf.cap if ivf else 0,
                 "spill": ivf.spill.live if ivf else 0,
                 "dim": ivf.dim if ivf else 0,
-                "hbm_bytes": (
-                    int(np.prod(ivf.buckets.codes.shape)) if ivf else 0
-                ),
+                "hbm_bytes": ivf.hbm_bytes if ivf else 0,
+                "doc_map_entries": len(st.doc_map),
             }
         return {
             "categories": cats,
@@ -958,6 +1077,8 @@ class Engine:
                 "batches": self._upload_batches,
                 "rows": self._upload_rows,
             },
+            "hbm_budget_bytes": self._hbm_budget,
+            "rss_bytes": _process_rss(),
         }
 
     # ---------------------------------------------------------------- rebuild
@@ -999,7 +1120,8 @@ class Engine:
                 packed, mesh=build_kwargs.pop("mesh", self.mesh), **build_kwargs
             )
             new_ivf = IVFIndex.build(
-                packed, ids, result.centroids, assignments=result.assignments
+                packed, ids, result.centroids, assignments=result.assignments,
+                hbm_budget=self._budget_for(category_id),
             )
             reassign = {
                 int(eid): int(c) for eid, c in zip(ids, result.assignments)
@@ -1067,7 +1189,9 @@ class Engine:
                     if state.ivf is new_ivf:
                         state.sharded = sharded
             self.cache.centroids.invalidate(category_id)
-            self._save_snapshot(category_id, new_ivf, list(new_db_ids))
+            self._save_snapshot(
+                category_id, new_ivf, list(new_db_ids), state.doc_map
+            )
             sugar().info(
                 "category %d rebuilt: %d centroids over %d vectors (%d added, %d removed during build)",
                 category_id,

@@ -31,6 +31,8 @@ import time
 from dataclasses import dataclass
 from typing import Any, Iterator
 
+import numpy as np
+
 try:
     import zstandard as _zstd
 
@@ -368,23 +370,28 @@ class Store:
 
     def embeddings_page(
         self, category_id: int, after_id: int, batch: int
-    ) -> list[tuple[int, bytes, int]]:
-        """One id-ordered page of (id, vector, document_id) after
-        `after_id` (also the paging unit RemoteStore streams over)."""
+    ) -> list[tuple[int, bytes, int, int]]:
+        """One id-ordered page of (id, vector, document_id, centroid_id)
+        after `after_id` (also the paging unit RemoteStore streams over).
+        centroid_id lets boot rebuild the IVF layout without a device
+        re-assignment pass — SQL already holds the authoritative
+        assignment (inserts persist it, rebuilds rewrite it)."""
         with self._lock:
             rows = self._conn.execute(
-                "SELECT e.id, e.vector, e.document_id FROM embeddings e "
+                "SELECT e.id, e.vector, e.document_id, e.centroid_id "
+                "FROM embeddings e "
                 "JOIN documents d ON d.id = e.document_id "
                 "WHERE d.category_id=? AND e.id>? ORDER BY e.id LIMIT ?",
                 (category_id, after_id, batch),
             ).fetchall()
-        return [(r[0], bytes(r[1]), r[2]) for r in rows]
+        return [(r[0], bytes(r[1]), r[2], r[3]) for r in rows]
 
     def iter_embeddings(
         self, category_id: int, batch: int = 1000
-    ) -> Iterator[list[tuple[int, bytes, int]]]:
-        """Stream (id, vector, document_id) for a category in id-ordered
-        batches (reference: dnc/dnc.go:91-114 streams the same way)."""
+    ) -> Iterator[list[tuple[int, bytes, int, int]]]:
+        """Stream (id, vector, document_id, centroid_id) for a category in
+        id-ordered batches (reference: dnc/dnc.go:91-114 streams the same
+        way)."""
         last = 0
         while True:
             rows = self.embeddings_page(category_id, last, batch)
@@ -471,3 +478,28 @@ class Store:
                 (category_id,),
             ).fetchall()
         return dict(rows)
+
+    def embedding_doc_pairs(
+        self, category_id: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """(embedding ids, document ids) as int64 arrays, id-sorted — the
+        array form of embedding_doc_map (a python dict costs ~100 B/entry,
+        GBs at the 10M BASELINE config; arrays cost 16)."""
+        chunks = []
+        with self._lock:
+            cur = self._conn.execute(
+                "SELECT e.id, e.document_id FROM embeddings e "
+                "JOIN documents d ON d.id = e.document_id "
+                "WHERE d.category_id=? ORDER BY e.id",
+                (category_id,),
+            )
+            while True:
+                rows = cur.fetchmany(200_000)
+                if not rows:
+                    break
+                chunks.append(np.array(rows, np.int64))
+        if not chunks:
+            z = np.zeros((0,), np.int64)
+            return z, z
+        both = np.concatenate(chunks)
+        return both[:, 0].copy(), both[:, 1].copy()

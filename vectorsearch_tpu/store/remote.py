@@ -29,6 +29,8 @@ import base64
 import json
 import threading
 import urllib.request
+
+import numpy as np
 from dataclasses import asdict, is_dataclass
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any, Iterator
@@ -56,6 +58,14 @@ STORE_METHODS = frozenset(
 def _encode(v: Any) -> Any:
     if isinstance(v, bytes):
         return {"__b64__": base64.b64encode(v).decode("ascii")}
+    if isinstance(v, np.ndarray):
+        return {
+            "__nd__": base64.b64encode(np.ascontiguousarray(v).tobytes()).decode(
+                "ascii"
+            ),
+            "dtype": str(v.dtype),
+            "shape": list(v.shape),
+        }
     if is_dataclass(v) and type(v).__name__ in _ROW_TYPES:
         return {"__row__": type(v).__name__, "f": _encode(asdict(v))}
     if isinstance(v, dict):
@@ -70,6 +80,10 @@ def _decode(v: Any) -> Any:
     if isinstance(v, dict):
         if "__b64__" in v:
             return base64.b64decode(v["__b64__"])
+        if "__nd__" in v:
+            return np.frombuffer(
+                base64.b64decode(v["__nd__"]), dtype=np.dtype(v["dtype"])
+            ).reshape(v["shape"]).copy()
         if "__row__" in v:
             return _ROW_TYPES[v["__row__"]](**_decode(v["f"]))
         if "__dict__" in v:
@@ -174,7 +188,7 @@ class RemoteStore:
         # JSON turns tuples into lists; restore the pair-tuple contracts
         if method == "embeddings_page":
             return [tuple(r) for r in result]
-        if method == "insert_documents_with_embeddings":
+        if method in ("insert_documents_with_embeddings", "embedding_doc_pairs"):
             return tuple(result)
         return result
 
