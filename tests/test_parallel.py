@@ -176,3 +176,70 @@ def test_engine_rebuild_installs_sharded_replica(mesh, monkeypatch, tmp_path):
     assert eng._batcher.stats()["dispatches"] == base + 1
     eng.close()
     store.close()
+
+
+# ------------------------------------------------- pallas path under shard_map
+
+
+@pytest.fixture
+def pallas_sharded(monkeypatch):
+    """Route the sharded per-shard scan through the grouped Pallas kernel
+    (interpret mode on the CPU mesh — identical code path to TPU)."""
+    monkeypatch.setenv("VSTPU_SHARDED_PALLAS_INTERPRET", "1")
+
+
+@pytest.mark.parametrize("nprobe", [1, 3, 8, -1])
+def test_sharded_ivf_pallas_matches_single(mesh, pallas_sharded, nprobe):
+    """The grouped kernel under shard_map must agree with the
+    single-device index exactly (same candidate sets at every nprobe)."""
+    from vectorsearch_tpu.parallel.sharded import _pallas_mode
+
+    assert _pallas_mode() == (True, True)
+    v, centers = make_clustered(n_per=30, k=8)
+    packed = layout.pack_float(v)
+    ids = np.arange(1, len(v) + 1, dtype=np.int64)
+    q = v[:5] + 0.01
+
+    single = IVFIndex.build(packed, ids, centers)
+    s1, i1 = single.search(q, k=5, nprobe=nprobe)
+    sharded = ShardedIVF.build(mesh, packed, ids, centers)
+    s8, i8 = sharded.search(q, k=5, nprobe=nprobe)
+
+    np.testing.assert_allclose(s1, s8, atol=2e-3)
+    for a, b in zip(i1, i8):
+        assert set(a) == set(b)
+
+
+def test_sharded_ivf_pallas_refine(mesh, pallas_sharded):
+    """Refine path through the Pallas-probed scan: exact-f32 re-rank on
+    each shard, merged result equals the single-device refined search."""
+    v, centers = make_clustered(n_per=30, k=8)
+    packed = layout.pack_float(v)
+    ids = np.arange(1, len(v) + 1, dtype=np.int64)
+    q = v[:5] + 0.01
+
+    single = IVFIndex.build(packed, ids, centers)
+    s1, i1 = single.search(q, k=5, nprobe=3, refine=16)
+    sharded = ShardedIVF.build(mesh, packed, ids, centers)
+    s8, i8 = sharded.search(q, k=5, nprobe=3, refine=16)
+    np.testing.assert_allclose(s1, s8, atol=2e-3)
+    for a, b in zip(i1, i8):
+        assert set(a) == set(b)
+
+
+def test_sharded_ivf_pallas_skewed_probe(mesh, pallas_sharded):
+    rng = np.random.default_rng(5)
+    d = 64
+    base = rng.normal(size=(8, d)).astype(np.float32) * 5
+    base[1] = base[0] + rng.normal(size=d).astype(np.float32) * 0.5
+    pts = (base[:, None, :] + rng.normal(size=(8, 30, d))).astype(np.float32)
+    v = pts.reshape(-1, d)
+    packed = layout.pack_float(v)
+    ids = np.arange(1, len(v) + 1, dtype=np.int64)
+    q = (base[0] + base[1])[None, :] / 2
+
+    single = IVFIndex.build(packed, ids, base)
+    s1, i1 = single.search(q, k=8, nprobe=2)
+    sharded = ShardedIVF.build(mesh, packed, ids, base)
+    s8, i8 = sharded.search(q, k=8, nprobe=2)
+    assert set(i1[0]) == set(i8[0])
