@@ -75,6 +75,37 @@ def preftest():
     sugar().info("preftest dequantize 1000x512 x50: %.1fms", (time.perf_counter() - t0) * 1e3)
 
 
+def build_store(cfg: config_mod.Config):
+    """Store selection (reference: database/database.go:25-103).
+
+    Priority: postgres DSNs (primary + strict-round-robin read replicas,
+    over the pure-Python wire client store/pgwire.py) > database.remote
+    (mount another instance's store server) > local SQLite."""
+    if cfg.database.postgres:
+        from vectorsearch_tpu.store.pg import PgStore
+
+        store = PgStore(
+            list(cfg.database.postgres), list(cfg.database.postgres_readonly)
+        )
+        sugar().info(
+            "using postgres primary (+%d writers, %d read replicas)",
+            len(cfg.database.postgres) - 1,
+            len(cfg.database.postgres_readonly),
+        )
+        return store
+    if cfg.database.remote:
+        # mount another instance's store server (cross-host shared store,
+        # the Postgres-role analogue — store/remote.py)
+        from vectorsearch_tpu.store.remote import RemoteStore
+
+        store = RemoteStore(
+            cfg.database.remote, token=cfg.database.store_token
+        )
+        sugar().info("using remote store %s", cfg.database.remote)
+        return store
+    return Store(cfg.database.sqlite)
+
+
 def _addr(spec: str) -> tuple[str | None, int]:
     """Parse ':7500', 'host:7500', or '[::1]:7500' address specs."""
     host, sep, port = spec.rpartition(":")
@@ -182,17 +213,6 @@ def main(argv: list[str]) -> int:
     ai = AI.from_config(cfg, use_noop=os.environ.get("VSTPU_NOOP_AI") == "1")
     preftest()
 
-    if cfg.database.postgres:
-        # The reference's Postgres + read-replica path (database.go:86-103);
-        # this image has no Postgres driver. The supported cross-host story
-        # is database.remote / database.serve_store (store/remote.py), and
-        # scale-out reads are sharded device replicas (parallel/sharded.py).
-        sugar().warning(
-            "postgres DSNs configured but no driver in this build; "
-            "use database.remote/serve_store for a cross-host shared store "
-            "(falling back to sqlite %s)",
-            cfg.database.sqlite,
-        )
     mesh = None
     if cfg.mesh.shard_serving:
         from vectorsearch_tpu.parallel.distributed import global_mesh
@@ -201,32 +221,32 @@ def main(argv: list[str]) -> int:
         sugar().info("sharded serving over %d devices", mesh.devices.size)
 
     store_server = None
-    if cfg.database.remote:
-        # mount another instance's store server (cross-host shared store,
-        # the Postgres-role analogue — store/remote.py)
-        from vectorsearch_tpu.store.remote import RemoteStore
-
-        store = RemoteStore(cfg.database.remote)
-        sugar().info("using remote store %s", cfg.database.remote)
-    else:
-        store = Store(cfg.database.sqlite)
+    store = build_store(cfg)
     if cfg.database.serve_store:
         if not isinstance(store, Store):
-            # serving while mounted on another host's store would export a
-            # fresh empty sqlite file, silently diverging from the store
+            # serving while mounted on a remote/postgres store would export
+            # a fresh empty sqlite file, silently diverging from the store
             # this instance actually uses — a config error, not a feature
+            # (postgres deployments share state through postgres itself)
             sugar().error(
-                "database.serve_store ignored: this instance mounts a "
-                "remote store (%s); point other hosts at that server "
-                "instead", cfg.database.remote,
+                "database.serve_store ignored: this instance's store is "
+                "%s, not a local sqlite file; other hosts should share "
+                "that store directly", type(store).__name__,
             )
         else:
             from vectorsearch_tpu.store.remote import StoreServer
 
             host, _, port = cfg.database.serve_store.rpartition(":")
             store_server = StoreServer(
-                store, host or "0.0.0.0", int(port)
+                store, host or "0.0.0.0", int(port),
+                token=cfg.database.store_token,
             ).start()
+            if not cfg.database.store_token:
+                sugar().warning(
+                    "store server has NO auth token (database.store_token): "
+                    "any peer that can reach the port can call every store "
+                    "method including deletes"
+                )
             sugar().info("store server listening on %s", store_server.address)
     engine = Engine(store, ai, snapshot_dir=cfg.database.snapshots, mesh=mesh)
 

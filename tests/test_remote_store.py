@@ -126,3 +126,29 @@ def test_two_hosts_coordinate_rebuild(served_store, monkeypatch):
     assert b.refresh_category(cat.id, target_cluster_size=10, chunk=64) is True
     a.close()
     b.close()
+
+
+def test_store_rpc_token_auth(tmp_path):
+    """With a token configured, unauthenticated RPC calls are rejected
+    (the interim hardening VERDICT r2 asked for: an open store endpoint
+    exposes every method including deletes)."""
+    from vectorsearch_tpu.store.remote import RemoteStore, StoreServer
+
+    store = Store(str(tmp_path / "s.db"))
+    server = StoreServer(store, port=0, token="sekrit").start()
+    try:
+        # no token -> every call rejected
+        bare = RemoteStore(server.address)
+        with pytest.raises(PermissionError, match="token"):
+            bare.all_categories()
+        # wrong token -> rejected
+        wrong = RemoteStore(server.address, token="nope")
+        with pytest.raises(PermissionError):
+            wrong.all_categories()
+        # right token -> full API works
+        good = RemoteStore(server.address, token="sekrit")
+        good.get_or_create_owner("o")
+        assert good.get_owner("o").name == "o"
+    finally:
+        server.close()
+        store.close()

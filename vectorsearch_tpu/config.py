@@ -82,6 +82,9 @@ class AIConfig:
 class DatabaseConfig:
     sqlite: str = "./vectorstore.db"
     postgres: list[str] = field(default_factory=list)
+    # read-only replica DSNs: reads route strict-round-robin over these
+    # while writes pin to postgres[0] (reference: database/database.go:86-103)
+    postgres_readonly: list[str] = field(default_factory=list)
     # `cache` is accepted for config-file compatibility with the reference
     # (its dnc/ builder staged temp files there, purged at boot —
     # database/database.go:31-44); this rebuild stages nothing on disk, so
@@ -99,6 +102,10 @@ class DatabaseConfig:
     # instance's sqlite store at "host:port" for others to mount.
     remote: str = ""
     serve_store: str = ""
+    # shared secret for the store RPC: serve_store rejects requests
+    # without it, remote sends it (the Postgres path has real auth; the
+    # RPC substitute must not be an open write endpoint)
+    store_token: str = ""
 
     @staticmethod
     def parse(d: dict | None) -> "DatabaseConfig":
@@ -106,24 +113,28 @@ class DatabaseConfig:
         return DatabaseConfig(
             sqlite=d.get("sqlite", "./vectorstore.db"),
             postgres=_as_list(d.get("postgres")),
+            postgres_readonly=_as_list(d.get("postgres_readonly")),
             cache=d.get("cache", "./vectorcache"),
             snapshots=d.get("snapshots", "./snapshots"),
             log_level=d.get("log_level", "error"),
             sync_interval=float(d.get("sync_interval", 0.0)),
             remote=d.get("remote", ""),
             serve_store=d.get("serve_store", ""),
+            store_token=d.get("store_token", ""),
         )
 
     def to_dict(self) -> dict:
         return {
             "sqlite": self.sqlite,
             "postgres": self.postgres,
+            "postgres_readonly": self.postgres_readonly,
             "cache": self.cache,
             "snapshots": self.snapshots,
             "log_level": self.log_level,
             "sync_interval": self.sync_interval,
             "remote": self.remote,
             "serve_store": self.serve_store,
+            "store_token": self.store_token,
         }
 
 
