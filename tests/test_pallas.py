@@ -114,3 +114,71 @@ def test_pallas_k_larger_than_valid():
     s = np.asarray(s)
     assert np.isfinite(s[0][:3]).all()
     assert np.isneginf(s[0][3:]).all()
+
+
+# --------------------------------------------------------- epilogue variants
+
+
+@pytest.mark.parametrize("epilogue", ["pair", "rowfirst", "flat"])
+@pytest.mark.parametrize("nprobe", [1, 3, 8])
+def test_epilogue_variants_match_xla(epilogue, nprobe):
+    """Every epilogue must agree with the XLA reference path when exact
+    reductions are used (approx=False): rowfirst is pair computed before
+    the gather; flat is the single reduction (safe when exact)."""
+    ivf, v = make_ivf()
+    q = jnp.asarray(v[:5] + 0.01, jnp.float32)
+    s_ref, i_ref = _ivf_scan(
+        q, ivf.centroids_n, ivf.buckets, ivf.counts_dev, ivf.bucket_mask,
+        nprobe=nprobe, k=5,
+    )
+    s_pal, i_pal = ivf_scan_pallas(
+        q, ivf.centroids_n, ivf.buckets, ivf.counts_dev, ivf.bucket_mask,
+        nprobe=nprobe, k=5, interpret=True, epilogue=epilogue,
+    )
+    np.testing.assert_allclose(np.asarray(s_pal), np.asarray(s_ref), atol=2e-3)
+    for a, b in zip(np.asarray(i_pal), np.asarray(i_ref)):
+        assert len(set(a) & set(b)) >= 4
+
+
+@pytest.mark.parametrize("epilogue", ["pair", "rowfirst"])
+def test_rowfirst_identical_to_pair(epilogue):
+    """rowfirst reduces the same rows as pair (just before the gather):
+    bit-identical outputs, exact or approx."""
+    ivf, v = make_ivf(n_per=70, k=6)
+    q = jnp.asarray(v[:7] + 0.01, jnp.float32)
+    outs = {}
+    for epi in ("pair", "rowfirst"):
+        outs[epi] = ivf_scan_pallas(
+            q, ivf.centroids_n, ivf.buckets, ivf.counts_dev, ivf.bucket_mask,
+            nprobe=4, k=8, interpret=True, epilogue=epi,
+        )
+    np.testing.assert_array_equal(
+        np.asarray(outs["pair"][0]), np.asarray(outs["rowfirst"][0])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(outs["pair"][1]), np.asarray(outs["rowfirst"][1])
+    )
+
+
+def test_exact_epilogue_env(monkeypatch):
+    """VSTPU_EXACT_EPILOGUE=1 routes the refined search through exact
+    per-pair reductions (the recall-floor config)."""
+    ivf, v = make_ivf()
+    monkeypatch.setenv("VSTPU_EXACT_EPILOGUE", "1")
+    s, i = ivf.search(jnp.asarray(v[:3] + 0.01), k=3, nprobe=3, refine=8)
+    assert (i[:, 0] == np.arange(1, 4)).all()
+
+
+def test_epilogue_env_selects(monkeypatch):
+    ivf, v = make_ivf()
+    q = jnp.asarray(v[:3] + 0.01, jnp.float32)
+    base_s, base_i = ivf_scan_pallas(
+        q, ivf.centroids_n, ivf.buckets, ivf.counts_dev, ivf.bucket_mask,
+        nprobe=3, k=5, interpret=True,
+    )
+    monkeypatch.setenv("VSTPU_EPILOGUE", "rowfirst")
+    env_s, env_i = ivf_scan_pallas(
+        q, ivf.centroids_n, ivf.buckets, ivf.counts_dev, ivf.bucket_mask,
+        nprobe=3, k=5, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(base_i), np.asarray(env_i))

@@ -119,6 +119,108 @@ def setup():
     return arrays
 
 
+def phases_mode(ivf, queries, truth, ids, flat_ids):
+    """VERDICT r3 next-step #3: measured breakdown of the high-nprobe scan
+    (group build / kernel / epilogue variants) against the HBM roofline."""
+    import jax
+    import jax.numpy as jnp
+
+    from vectorsearch_tpu.kernels.pallas_scan import ivf_scan_pallas
+
+    batch = int(os.environ.get("VSTPU_PHASE_BATCH", 512))
+    nprobe = int(os.environ.get("VSTPU_PHASE_NPROBE", 64))
+    kc = 32
+    q_dev = jnp.asarray(np.resize(queries, (batch, DIM)))
+    kk, cap, d = ivf.buckets.codes.shape
+
+    def timeit(label, fn, rounds=20):
+        out = fn(q_dev)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(rounds):
+            out = fn(q_dev)
+        jax.block_until_ready(out)
+        ms = 1000 * (time.perf_counter() - t0) / rounds
+        log("phases: %-34s %8.2f ms/batch  (%.0f QPS)",
+            label, ms, batch * 1000 / ms)
+        return ms
+
+    # how many distinct clusters does this batch actually probe?
+    s_p, i_p = ivf.probe(queries[:batch], nprobe)
+    distinct = len(np.unique(i_p))
+    p = batch * nprobe
+    qt = max(8, min(32, 1 << int(np.ceil(np.log2(max(1, -(-2 * p // kk)))))))
+    g_max = p // qt + min(kk, p)
+    codes_gb = distinct * cap * d / 1e9  # best case: every group distinct
+    scores_gb = g_max * qt * cap * 4 / 1e9
+    log(
+        "phases: B=%d nprobe=%d K=%d cap=%d | P=%d qt~%d g_max=%d "
+        "distinct-clusters=%d | codes>=%.2f GB, score-grid=%.2f GB/dispatch",
+        batch, nprobe, kk, cap, p, qt, g_max, distinct, codes_gb, scores_gb,
+    )
+
+    results = {}
+    for label, kwargs in [
+        ("groups-only", dict(debug_phase="groups")),
+        ("groups+kernel", dict(debug_phase="kernel")),
+        ("full pair/approx", dict(epilogue="pair", approx=True)),
+        ("full pair/exact", dict(epilogue="pair", approx=False)),
+        ("full rowfirst/approx", dict(epilogue="rowfirst", approx=True)),
+        ("full rowfirst/exact", dict(epilogue="rowfirst", approx=False)),
+        ("full flat/approx", dict(epilogue="flat", approx=True)),
+        ("full flat/exact", dict(epilogue="flat", approx=False)),
+    ]:
+        try:
+            fn = lambda q, kw=kwargs: ivf_scan_pallas(
+                q, ivf.centroids_n, ivf.buckets, ivf.counts_dev,
+                ivf.bucket_mask, nprobe=nprobe, k=kc, **kw,
+            )
+            results[label] = timeit(label, fn)
+        except Exception as e:
+            log("phases: %s FAILED: %s", label, str(e)[:200])
+    for qt_ovr in (64, 128):
+        try:
+            fn = lambda q, qo=qt_ovr: ivf_scan_pallas(
+                q, ivf.centroids_n, ivf.buckets, ivf.counts_dev,
+                ivf.bucket_mask, nprobe=nprobe, k=kc, approx=True,
+                qt_max=qo,
+            )
+            results[f"pair/approx qt_max={qt_ovr}"] = timeit(
+                f"full pair/approx qt_max={qt_ovr}", fn)
+        except Exception as e:
+            log("phases: qt=%d FAILED: %s", qt_ovr, str(e)[:200])
+
+    if "groups+kernel" in results and "groups-only" in results:
+        kern = results["groups+kernel"] - results["groups-only"]
+        log(
+            "phases: kernel-only ~%.2f ms -> %.0f GB/s effective over "
+            "codes+scores %.2f GB (v5e HBM ~819 GB/s)",
+            kern, (codes_gb + scores_gb) / (kern / 1000), codes_gb + scores_gb,
+        )
+    # recall sanity for each full epilogue (64 queries is plenty here)
+    for label, kwargs in [
+        ("pair/approx", dict(epilogue="pair", approx=True)),
+        ("pair/exact", dict(epilogue="pair", approx=False)),
+        ("rowfirst/approx", dict(epilogue="rowfirst", approx=True)),
+        ("flat/approx", dict(epilogue="flat", approx=True)),
+    ]:
+        try:
+            _, gslot = ivf_scan_pallas(
+                jnp.asarray(queries[:batch]), ivf.centroids_n, ivf.buckets,
+                ivf.counts_dev, ivf.bucket_mask, nprobe=nprobe, k=kc, **kwargs,
+            )
+            got = flat_ids[np.clip(np.asarray(gslot), 0, flat_ids.size - 1)]
+            nq = min(batch, len(truth))
+            recall = np.mean([
+                len(set(got[i][:TOPK]) & set(ids[truth[i]])) / TOPK
+                for i in range(nq)
+            ])
+            log("phases: recall@%d (coarse, no refine) %-16s %.4f",
+                TOPK, label, recall)
+        except Exception as e:
+            log("phases: recall %s FAILED: %s", label, str(e)[:160])
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -146,6 +248,10 @@ def main():
         time.perf_counter() - t0, ivf.k_clusters, ivf.cap)
     queries, truth = arrays["queries"], arrays["truth"]
     flat_ids = ivf.ids.reshape(-1)
+
+    if "--phases" in sys.argv:
+        ids = np.arange(1, N + 1, dtype=np.int64)
+        return phases_mode(ivf, queries, truth, ids, flat_ids)
 
     scan = _ivf_scan if use_xla else ivf_scan_pallas
     batches = [int(x) for x in os.environ.get(

@@ -164,23 +164,30 @@ def _clear_bucket_slots(bucket_mask: jax.Array, cid: jax.Array, slot: jax.Array)
     return bucket_mask.at[cid, slot].set(False, mode="drop")
 
 
-@functools.partial(jax.jit, static_argnames=("nprobe", "k_coarse", "k", "use_pallas"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("nprobe", "k_coarse", "k", "use_pallas", "approx"),
+)
 def _scan_refined(
     queries, centroids_n, buckets, counts, bucket_mask, nprobe, k_coarse, k,
-    use_pallas,
+    use_pallas, approx=True,
 ):
     """Coarse scan + exact-f32 refine fused into ONE jitted program: the
     bucket flat view is reshaped inside jit (views, not eager dispatches —
     each eager op costs a full round trip through the remote-TPU tunnel;
-    measured 123ms -> 15ms per 2M-corpus query)."""
+    measured 123ms -> 15ms per 2M-corpus query).
+
+    approx=False (VSTPU_EXACT_EPILOGUE=1 via IVFIndex.search) swaps the
+    per-pair approx reduction for exact top-k — recovers the last ~0.3pt
+    to the corpus-quantization recall floor at some QPS cost."""
     if use_pallas:
         from ..kernels.pallas_scan import ivf_scan_pallas
 
-        # approximate coarse top-k is safe here: the exact-f32 refine
-        # below re-ranks every candidate
+        # approximate coarse top-k is (mostly) safe here: the exact-f32
+        # refine below re-ranks every candidate
         scores, gslot = ivf_scan_pallas(
             queries, centroids_n, buckets, counts, bucket_mask,
-            nprobe=nprobe, k=k_coarse, approx=True,
+            nprobe=nprobe, k=k_coarse, approx=approx,
         )
     else:
         scores, gslot = _ivf_scan(
@@ -380,13 +387,18 @@ class IVFIndex:
             bytes_per_q = nprobe * self.cap * (3 * self.dim + 16)
             b_max = max(1, (2 << 30) // max(1, bytes_per_q))
 
+        # exact epilogue config: recovers the corpus-quantization recall
+        # floor (0.9672 at 1M) that the per-pair approx reduction trades
+        # ~0.3pt of for QPS
+        approx_epi = os.environ.get("VSTPU_EXACT_EPILOGUE") != "1"
+
         def one(qs):
             if refine:
                 # single fused program: scan + exact-f32 re-rank
                 return _scan_refined(
                     qs, self.centroids_n, self.buckets, self.counts_dev,
                     self.bucket_mask, nprobe=nprobe, k_coarse=k_coarse, k=k,
-                    use_pallas=use_pallas,
+                    use_pallas=use_pallas, approx=approx_epi,
                 )
             return _scan_impl()(
                 qs, self.centroids_n, self.buckets, self.counts_dev,

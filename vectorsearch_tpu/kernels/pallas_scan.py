@@ -61,6 +61,15 @@ def _qt_max() -> int:
     return int(os.environ.get("VSTPU_SCAN_QT_MAX", 32))
 
 
+def _default_epilogue() -> str:
+    """Top-k epilogue variant (see _grouped_scan): "pair" | "rowfirst" |
+    "flat", VSTPU_EPILOGUE overrides. Resolved OUTSIDE jit so the choice
+    is part of the trace cache key."""
+    import os
+
+    return os.environ.get("VSTPU_EPILOGUE", "pair")
+
+
 def _next_pow2(x: int) -> int:
     n = 1
     while n < x:
@@ -103,19 +112,23 @@ def ivf_scan_pallas(
     interpret: bool = False,
     approx: bool = False,
     qt_max: int | None = None,
+    epilogue: str | None = None,
+    debug_phase: str = "full",
 ):
     """Drop-in replacement for index.ivf._ivf_scan (same signature/returns).
 
-    The env default for qt_max resolves HERE, outside jit, so the
-    resolved int is the cache key — an env change between calls would
-    otherwise hit the stale trace for qt_max=None and be silently
+    The env defaults for qt_max/epilogue resolve HERE, outside jit, so the
+    resolved values are the cache key — an env change between calls would
+    otherwise hit the stale trace for the None defaults and be silently
     ignored."""
     if qt_max is None:
         qt_max = _qt_max()
+    if epilogue is None:
+        epilogue = _default_epilogue()
     return _ivf_scan_pallas(
         queries, centroids_n, buckets, counts, bucket_mask,
         nprobe=nprobe, k=k, interpret=interpret, approx=approx,
-        qt_max=qt_max,
+        qt_max=qt_max, epilogue=epilogue, debug_phase=debug_phase,
     )
 
 
@@ -130,6 +143,7 @@ def ivf_scan_pallas_probed(
     interpret: bool = False,
     approx: bool = False,
     qt_max: int | None = None,
+    epilogue: str | None = None,
 ):
     """Grouped scan over an EXPLICIT probe list — the Pallas counterpart
     of index.ivf._scan_probed (same signature/returns). This is what the
@@ -141,16 +155,22 @@ def ivf_scan_pallas_probed(
     shard_map/jit."""
     if qt_max is None:
         qt_max = _qt_max()
+    if epilogue is None:
+        epilogue = _default_epilogue()
     qn = cosine.l2_normalize(queries.astype(jnp.float32))
     qsum = jnp.sum(qn, axis=-1)
     return _grouped_scan(
         qn, qsum, buckets, counts, bucket_mask, probed, probe_valid, k,
-        interpret=interpret, approx=approx, qt_max=qt_max,
+        interpret=interpret, approx=approx, qt_max=qt_max, epilogue=epilogue,
     )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("nprobe", "k", "interpret", "approx", "qt_max")
+    jax.jit,
+    static_argnames=(
+        "nprobe", "k", "interpret", "approx", "qt_max", "epilogue",
+        "debug_phase",
+    ),
 )
 def _ivf_scan_pallas(
     queries: jax.Array,
@@ -163,6 +183,8 @@ def _ivf_scan_pallas(
     interpret: bool = False,
     approx: bool = False,
     qt_max: int = 32,
+    epilogue: str = "pair",
+    debug_phase: str = "full",
 ):
     kk = buckets.codes.shape[0]
     nprobe = max(1, min(nprobe, kk))
@@ -176,7 +198,8 @@ def _ivf_scan_pallas(
     qsum = jnp.sum(qn, axis=-1)  # [B]
     return _grouped_scan(
         qn, qsum, buckets, counts, bucket_mask, probed, None, k,
-        interpret=interpret, approx=approx, qt_max=qt_max,
+        interpret=interpret, approx=approx, qt_max=qt_max, epilogue=epilogue,
+        debug_phase=debug_phase,
     )
 
 
@@ -192,7 +215,13 @@ def _grouped_scan(
     interpret: bool,
     approx: bool,
     qt_max: int,
+    epilogue: str = "pair",
+    debug_phase: str = "full",
 ):
+    """debug_phase (perf instrumentation, tools/ivf_perf_probe.py only):
+    "groups" stops after group building, "kernel" after the pallas call —
+    each returns (checksum[1,1], checksum[1,1]) so later stages are DCE'd
+    and the phase can be timed in isolation. "full" is the product path."""
     b, nprobe = probed.shape
     kk, cap, d = buckets.codes.shape
     tile = min(cap, TILE_CAP)
@@ -229,6 +258,11 @@ def _grouped_scan(
 
     qg = qn.astype(jnp.bfloat16)[qidx]  # [G, QT, D]
     qsum_g = qsum[qidx][..., None]  # [G, QT, 1]
+    if debug_phase == "groups":
+        chk = (
+            pair_slot.sum() + grp_cluster.sum() + qg.astype(jnp.float32).sum()
+        ).reshape(1, 1).astype(jnp.float32)
+        return chk, chk
 
     # fold sidecars + padding/tombstone mask into lane-major rows
     col = jax.lax.broadcasted_iota(jnp.int32, (kk, cap), 1)
@@ -265,45 +299,82 @@ def _grouped_scan(
         out_shape=jax.ShapeDtypeStruct((g_max, qt, cap), jnp.float32),
         interpret=interpret,
     )(grp_cluster, qg, qsum_g, buckets.codes, a, bv, bias)
+    if debug_phase == "kernel":
+        chk = out.sum().reshape(1, 1)
+        return chk, chk
 
-    # ---- restore pair order, then a TWO-STAGE top-k: each (query,
-    # cluster) pair reduces its own cap-row to kc candidates first, and
-    # the final exact top-k runs over the tiny [B, nprobe*kc] union.
-    # Correctness: any global top-kc element has < kc elements above it
-    # globally, hence < kc above it within its own pair — so the global
-    # top-kc is contained in the union of per-pair top-kc.
+    # ---- epilogue: reduce the grouped score grid to per-query top-k.
     #
-    # This exists because a single flat reduction over [B, nprobe*cap]
-    # breaks both ways at large nprobe: exact top_k reads the whole
-    # 128x-wider buffer through the sort network, and approx_max_k's
-    # per-bin max DROPS true candidates — the probe-major layout packs
-    # every winner into the first probed cluster's contiguous cap
-    # positions, so one bin holds many winners (measured on the 10M
+    # "pair" (default): restore pair order ([P, cap] gather), per-pair
+    # top-kc, exact top-k over the [B, nprobe*kc] union. Correctness: any
+    # global top-kc element has < kc elements above it globally, hence
+    # < kc above it within its own pair — the union provably contains the
+    # global top-kc. Within a pair row, slots are insertion-ordered
+    # (uncorrelated with score), so the approx unit is safe per pair.
+    #
+    # "rowfirst": identical result, but the per-row top-kc runs on the
+    # RAW group grid before the pair gather, so the gather moves [*, kc]
+    # instead of [*, cap] — cap/kc x less permutation traffic, at the
+    # cost of also reducing the (G*QT - P) padded rows. Wins when the
+    # padding ratio is low (high nprobe).
+    #
+    # "flat": the r1-style single reduction over [B, nprobe*cap]. With
+    # approx it is the fastest shape but DROPS candidates at scale: the
+    # probe-major layout packs every winner into one cluster's contiguous
+    # cap run, so one approx bin holds many winners (measured on the 10M
     # corpus: recall 0.9408 at nprobe=64 vs 0.9617 at nprobe=8,
-    # insensitive to recall_target). Within a single pair row, slots are
-    # insertion-ordered (uncorrelated with score), so the approx unit is
-    # safe per pair; `approx` gates it for the refine-backed path.
-    pair_scores = out.reshape(g_max * qt, cap)[pair_slot]  # [P, cap]
-    if probe_valid is not None:
-        # sharded path: non-owned probe entries are scanned (their clipped
-        # cluster ids share group reads) but fully masked here
-        pair_scores = jnp.where(
-            probe_valid.reshape(p, 1), pair_scores, cosine.NEG_INF
-        )
+    # insensitive to recall_target). Only selectable explicitly.
     k_eff = min(k, nprobe * cap)
     kc = min(k_eff, cap)
-    if approx and kc * 8 <= cap:
-        # 0.98: the residual per-pair bin-collision loss at 0.95 cost
-        # ~0.2pt recall on the 10M corpus for ~1.3% QPS
-        ps, pi = jax.lax.approx_max_k(pair_scores, kc, recall_target=0.98)
-    else:
-        ps, pi = jax.lax.top_k(pair_scores, kc)
+    # approx per-pair at 0.98: the residual bin-collision loss cost
+    # ~0.2pt recall on the 10M corpus for ~1.3% QPS
+    use_approx = approx and kc * 8 <= cap
+
+    def mask_invalid(ps):
+        if probe_valid is not None:
+            # sharded path: non-owned probe entries are scanned (their
+            # clipped cluster ids share group reads) but fully masked here
+            return jnp.where(
+                probe_valid.reshape(p, 1), ps, cosine.NEG_INF
+            )
+        return ps
+
+    if epilogue == "rowfirst":
+        rows = out.reshape(g_max * qt, cap)
+        if use_approx:
+            rs, ri = jax.lax.approx_max_k(rows, kc, recall_target=0.98)
+        else:
+            rs, ri = jax.lax.top_k(rows, kc)
+        ps = mask_invalid(rs[pair_slot])  # [P, kc]
+        pi = ri[pair_slot]
+    elif epilogue == "flat":
+        pair_scores = mask_invalid(out.reshape(g_max * qt, cap)[pair_slot])
+        flat = pair_scores.reshape(b, nprobe * cap)
+        if approx and k_eff * 8 <= nprobe * cap:
+            best, pos = jax.lax.approx_max_k(
+                flat, k_eff, recall_target=0.98
+            )
+        else:
+            best, pos = jax.lax.top_k(flat, k_eff)
+        cluster = jnp.take_along_axis(probed, pos // cap, axis=-1)
+        gslot = cluster * cap + pos % cap
+        return _pad_k(best, gslot, k, k_eff)
+    else:  # "pair"
+        pair_scores = mask_invalid(out.reshape(g_max * qt, cap)[pair_slot])
+        if use_approx:
+            ps, pi = jax.lax.approx_max_k(pair_scores, kc, recall_target=0.98)
+        else:
+            ps, pi = jax.lax.top_k(pair_scores, kc)
     scores = ps.reshape(b, nprobe * kc)
     best, pos = jax.lax.top_k(scores, k_eff)
     probe_j = pos // kc
     slot = jnp.take_along_axis(pi.reshape(b, nprobe * kc), pos, axis=-1)
     cluster = jnp.take_along_axis(probed, probe_j, axis=-1)
     gslot = cluster * cap + slot
+    return _pad_k(best, gslot, k, k_eff)
+
+
+def _pad_k(best, gslot, k, k_eff):
     if k_eff < k:
         best = jnp.pad(
             best, ((0, 0), (0, k - k_eff)), constant_values=cosine.NEG_INF
