@@ -119,7 +119,7 @@ def test_pallas_k_larger_than_valid():
 # --------------------------------------------------------- epilogue variants
 
 
-@pytest.mark.parametrize("epilogue", ["pair", "rowfirst", "flat"])
+@pytest.mark.parametrize("epilogue", ["pair", "rowfirst", "flat", "flatwide"])
 @pytest.mark.parametrize("nprobe", [1, 3, 8])
 def test_epilogue_variants_match_xla(epilogue, nprobe):
     """Every epilogue must agree with the XLA reference path when exact

@@ -117,10 +117,13 @@ def main():
             now = time.time()
             for start in range(0, N, chunk):
                 m = min(chunk, N - start)
-                block = centers[rng.integers(0, K, size=m)] * np.float32(2.0)
+                # assignment = generator center: boot now trusts the SQL
+                # centroid_id column (no device re-assign), so the stored
+                # assignment must be the (near-)nearest centroid
+                assign = rng.integers(0, K, size=m)
+                block = centers[assign] * np.float32(2.0)
                 block += rng.standard_normal((m, DIM), dtype=np.float32)
                 wires = codec.quantize(block)
-                assign = rng.integers(0, K, size=m)  # approximate; boot packs by it
                 cur.executemany(
                     "INSERT INTO documents(name, external_id, last_updated, document, category_id) "
                     "VALUES ('', '', ?, ?, ?)",

@@ -169,6 +169,7 @@ def phases_mode(ivf, queries, truth, ids, flat_ids):
         ("full rowfirst/exact", dict(epilogue="rowfirst", approx=False)),
         ("full flat/approx", dict(epilogue="flat", approx=True)),
         ("full flat/exact", dict(epilogue="flat", approx=False)),
+        ("full flatwide/approx", dict(epilogue="flatwide", approx=True)),
     ]:
         try:
             fn = lambda q, kw=kwargs: ivf_scan_pallas(
@@ -203,6 +204,8 @@ def phases_mode(ivf, queries, truth, ids, flat_ids):
         ("pair/exact", dict(epilogue="pair", approx=False)),
         ("rowfirst/approx", dict(epilogue="rowfirst", approx=True)),
         ("flat/approx", dict(epilogue="flat", approx=True)),
+        ("flat/exact", dict(epilogue="flat", approx=False)),
+        ("flatwide/approx", dict(epilogue="flatwide", approx=True)),
     ]:
         try:
             _, gslot = ivf_scan_pallas(

@@ -62,12 +62,12 @@ def _qt_max() -> int:
 
 
 def _default_epilogue() -> str:
-    """Top-k epilogue variant (see _grouped_scan): "pair" | "rowfirst" |
-    "flat", VSTPU_EPILOGUE overrides. Resolved OUTSIDE jit so the choice
-    is part of the trace cache key."""
+    """Top-k epilogue variant (see _grouped_scan): "auto" | "pair" |
+    "rowfirst" | "flat" | "flatwide", VSTPU_EPILOGUE overrides. Resolved
+    OUTSIDE jit so the choice is part of the trace cache key."""
     import os
 
-    return os.environ.get("VSTPU_EPILOGUE", "pair")
+    return os.environ.get("VSTPU_EPILOGUE", "auto")
 
 
 def _next_pow2(x: int) -> int:
@@ -228,6 +228,23 @@ def _grouped_scan(
     tiles = cap // tile
     assert cap % tile == 0, (cap, tile)
 
+    if epilogue == "auto":
+        # Measured policy (tools/ivf_perf_probe --phases, 1M x 768 on v5e,
+        # B=512, coarse k=32 — r3 phase breakdown):
+        #   * nprobe=1: the flat buffer IS one bucket row per query, so the
+        #     approx unit is exactly as safe as the per-pair reduction;
+        #     flat/approx measured 151.4k QPS vs 143.0k pair/approx.
+        #   * nprobe>1: one flat EXACT top-k beats the two-stage per-pair
+        #     approx at high nprobe (20.0k vs 15.8k at nprobe=64) and costs
+        #     ~11% at nprobe=8 (61.8k vs 69.2k) while restoring the exact
+        #     corpus-quantization recall floor (0.9664 vs 0.9633 coarse);
+        #     flat/APPROX is faster still but drops contiguous winners at
+        #     10M scale (0.9408 at nprobe=64, r2) — never chosen here.
+        # VSTPU_EPILOGUE=pair restores the r2 behaviour.
+        epilogue = "flat"
+        if nprobe > 1:
+            approx = False
+
     # ---- group building: pack (query, cluster) pairs into QT-row groups
     # per cluster. QT ~ 2x the mean pairs/cluster keeps most groups full
     # (read amplification) without padding waste (compute).
@@ -358,6 +375,25 @@ def _grouped_scan(
             best, pos = jax.lax.top_k(flat, k_eff)
         cluster = jnp.take_along_axis(probed, pos // cap, axis=-1)
         gslot = cluster * cap + pos % cap
+        return _pad_k(best, gslot, k, k_eff)
+    elif epilogue == "flatwide":
+        # flat approx with a WIDENED output (nprobe*kc candidates), then
+        # one exact top-k over that union. Collision-safe by the same
+        # argument as "pair": the approx unit's bins over nprobe*cap
+        # inputs with nprobe*kc outputs are at most cap/kc wide, so a
+        # cluster's contiguous cap run spans >= kc bins and the per-bin
+        # max can keep every one of the worst case's kc winners.
+        pair_scores = mask_invalid(out.reshape(g_max * qt, cap)[pair_slot])
+        flat = pair_scores.reshape(b, nprobe * cap)
+        wide = min(nprobe * kc, nprobe * cap)
+        if approx and wide * 8 <= nprobe * cap:
+            ws, wi = jax.lax.approx_max_k(flat, wide, recall_target=0.98)
+        else:
+            ws, wi = jax.lax.top_k(flat, wide)
+        best, pos = jax.lax.top_k(ws, k_eff)
+        flat_pos = jnp.take_along_axis(wi, pos, axis=-1)
+        cluster = jnp.take_along_axis(probed, flat_pos // cap, axis=-1)
+        gslot = cluster * cap + flat_pos % cap
         return _pad_k(best, gslot, k, k_eff)
     else:  # "pair"
         pair_scores = mask_invalid(out.reshape(g_max * qt, cap)[pair_slot])
