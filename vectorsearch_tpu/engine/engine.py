@@ -90,9 +90,18 @@ def _device_hbm_budget() -> int | None:
         limit = stats.get("bytes_limit")
         if limit:
             return int(limit * 0.85)
+        # some plugins (the tunneled axon device here) report no memory
+        # stats; fall back to known per-generation HBM sizes — guessing
+        # LOW only wastes insert headroom, guessing high OOMs at boot
+        kind = (dev.device_kind or "").lower()
+        hbm = 16 * 2**30  # v5e / v6e-class default
+        if "v4" in kind:
+            hbm = 32 * 2**30
+        elif "v5p" in kind:
+            hbm = 95 * 2**30
+        return int(hbm * 0.85)
     except Exception:
         return None
-    return None
 
 
 def _k_class(want: int) -> int:

@@ -80,6 +80,10 @@ class Dsn:
 
 def escape_literal(v) -> str:
     """Value -> SQL literal for the simple-query protocol."""
+    import numpy as _np
+
+    if isinstance(v, _np.generic):  # numpy scalars leak in from callers
+        v = v.item()
     if v is None:
         return "NULL"
     if isinstance(v, bool):
