@@ -594,3 +594,55 @@ def test_sql_boot_uses_stored_assignments(tmp_path):
     finally:
         ivf_mod.assign_clusters = real
     store.close()
+
+
+def test_boot_saves_snapshot_from_host_and_clean_close_skips_export(tmp_path):
+    """The SQL-fallback boot writes the snapshot from the host arrays it
+    already holds; an unmutated close() must NOT export the packed store
+    from the device (a 15+ GB read-back at 10M scale that the remote
+    tunnel may never complete)."""
+    from vectorsearch_tpu.index import IVFIndex
+
+    snap_dir = str(tmp_path / "snaps")
+    store = Store(str(tmp_path / "s.db"))
+    eng = Engine(store, WordHashAI(), snapshot_dir=snap_dir,
+                 cache=EngineCache(ttl=0.0))
+    eng.upload("o", "c", FRUIT_DOCS)
+    eng.close()  # dirty (upload) -> saves
+
+    # boot #2 hits the close-snapshot; unmutated -> close must not export
+    real_export = IVFIndex.export_live_assigned
+    calls = []
+
+    def counting(self, *a, **kw):
+        calls.append(1)
+        return real_export(self, *a, **kw)
+
+    IVFIndex.export_live_assigned = counting
+    try:
+        eng2 = Engine(store, WordHashAI(), snapshot_dir=snap_dir,
+                      cache=EngineCache(ttl=0.0))
+        assert eng2.search("o", "c", "banana tropical", count=1)
+        eng2.close()
+        assert calls == []  # clean close: no device export
+    finally:
+        IVFIndex.export_live_assigned = real_export
+
+    # boot #3 from SQL (snapshots wiped): the boot itself writes one,
+    # and a clean close still skips the export
+    import shutil
+
+    shutil.rmtree(snap_dir)
+    IVFIndex.export_live_assigned = counting
+    try:
+        eng3 = Engine(store, WordHashAI(), snapshot_dir=snap_dir,
+                      cache=EngineCache(ttl=0.0))
+        from vectorsearch_tpu.store import snapshots as snaps_mod
+
+        cat = store.get_category(store.get_owner("o").id, "c")
+        assert snaps_mod.latest_version(snap_dir, f"cat-{cat.id}") > 0
+        eng3.close()
+        assert calls == []
+    finally:
+        IVFIndex.export_live_assigned = real_export
+    store.close()

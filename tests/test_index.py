@@ -340,3 +340,39 @@ class TestHBMBudget:
             packed, ids, cents, headroom=1.25, hbm_budget=1 << 40
         )
         assert same.cap == free.cap
+
+
+class TestFrozenBuckets:
+    """At HBM-limit scale the functional bucket scatter cannot allocate a
+    second copy of the codes; a frozen store routes inserts to the spill
+    tail (searched alongside) while tombstone deletes keep working."""
+
+    def test_frozen_insert_goes_to_spill(self):
+        v, packed, ids = make_corpus(1000)
+        cents = v[:2]
+        floor = IVFIndex.build(packed, ids, cents, headroom=1.0)
+        # budget fits ONE copy of the store but not two -> frozen
+        budget = floor.hbm_bytes + floor.hbm_bytes // 2
+        idx = IVFIndex.build(
+            packed, ids, cents, headroom=1.0, hbm_budget=budget
+        )
+        assert idx.frozen
+        extra_v, extra_packed, _ = make_corpus(30, seed=9)
+        extra_ids = np.arange(5000, 5030, dtype=np.int64)
+        idx2 = idx.insert(extra_packed, extra_ids)
+        assert idx2.spill.live == 30
+        assert idx2.n_live == idx.n_live + 30
+        # spill rows are served
+        s, got = idx2.search(extra_v[:1], k=3, nprobe=-1)
+        assert extra_ids[0] in got
+        # deletes still work (small mask scatter)
+        idx3 = idx2.remove_ids(extra_ids[:5])
+        assert idx3.n_live == idx2.n_live - 5
+
+    def test_unfrozen_with_room(self):
+        v, packed, ids = make_corpus(500)
+        idx = IVFIndex.build(packed, ids, v[:2], hbm_budget=1 << 40)
+        assert not idx.frozen
+        extra_v, extra_packed, _ = make_corpus(10, seed=9)
+        idx2 = idx.insert(extra_packed, np.arange(900, 910, dtype=np.int64))
+        assert idx2.spill.live == 0  # room in the buckets

@@ -239,3 +239,72 @@ def test_main_boot_with_postgres_dsns(tmp_path):
     finally:
         primary.close()
         replica.close()
+
+
+def test_pgstore_document_roundtrip():
+    """Documents + embeddings through the wire: zstd-compressed JSON blobs
+    travel as bytea literals and decode back through fetch_documents."""
+    from vectorsearch_tpu.store.db import compress
+
+    primary = MockPg()
+    doc_ids = iter(range(100, 200))
+    emb_ids = iter(range(500, 600))
+    primary.on(
+        r"INSERT INTO documents.*RETURNING id",
+        lambda m, sql: ([("id", INT8)], [(next(doc_ids),)], "INSERT 0 1"),
+    )
+    primary.on(
+        r"INSERT INTO embeddings.*RETURNING id",
+        lambda m, sql: ([("id", INT8)], [(next(emb_ids),)], "INSERT 0 1"),
+    )
+    blob = compress(b'{"text": "hello"}')
+    primary.on(
+        r"SELECT id, name, external_id, document, category_id",
+        (
+            [("id", INT8), ("name", TEXT), ("external_id", TEXT),
+             ("document", BYTEA), ("category_id", INT8)],
+            [(100, "doc-a", "ext", blob, 1)],
+            "SELECT 1",
+        ),
+    )
+    try:
+        store = PgStore([primary.dsn])
+        d_ids, e_ids = store.insert_documents_with_embeddings(
+            1,
+            [("doc-a", "ext", {"text": "hello"})],
+            [[(b"\x01\x02", 7), (b"\x03\x04", 7)]],
+        )
+        assert d_ids == [100] and e_ids == [500, 501]
+        # the insert ran inside one BEGIN/COMMIT transaction
+        qs = primary.queries
+        i = next(j for j, q in enumerate(qs) if "INSERT INTO documents" in q)
+        assert qs[i - 1].startswith("BEGIN")
+        docs = store.fetch_documents([100])
+        assert docs[0].document == {"text": "hello"}
+        assert docs[0].name == "doc-a"
+        store.close()
+    finally:
+        primary.close()
+
+
+def test_pgstore_embeddings_page_tuple_shape():
+    primary = MockPg()
+    cols = [("id", INT8), ("vector", BYTEA), ("document_id", INT8),
+            ("centroid_id", INT8)]
+
+    def pager(m, sql):
+        # honor the `e.id>N` predicate or iter_embeddings loops forever
+        import re as _re
+
+        after = int(_re.search(r"e\.id>(\d+)", sql).group(1))
+        rows = [(1, b"\xaa\xbb", 10, 3)] if after < 1 else []
+        return (cols, rows, f"SELECT {len(rows)}")
+
+    primary.on(r"SELECT e.id, e.vector, e.document_id, e.centroid_id", pager)
+    try:
+        store = PgStore([primary.dsn])
+        pages = list(store.iter_embeddings(5, batch=10))
+        assert pages[0] == [(1, b"\xaa\xbb", 10, 3)]
+        store.close()
+    finally:
+        primary.close()

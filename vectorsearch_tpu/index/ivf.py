@@ -164,6 +164,15 @@ def _clear_bucket_slots(bucket_mask: jax.Array, cid: jax.Array, slot: jax.Array)
     return bucket_mask.at[cid, slot].set(False, mode="drop")
 
 
+@functools.partial(jax.jit, static_argnames=("step",))
+def _slice_clusters(arr: jax.Array, start, step: int):
+    """One compiled program serves EVERY chunk of a cluster-range export:
+    eager basic slicing (`arr[c0:c1]`) bakes the offsets into the
+    executable, which costs one 30-120s remote compile PER OFFSET through
+    the tunnel (observed as a wedged snapshot save at 10M scale)."""
+    return jax.lax.dynamic_slice_in_dim(arr, start, step, axis=0)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("nprobe", "k_coarse", "k", "use_pallas", "approx"),
@@ -242,6 +251,14 @@ class IVFIndex:
     # host-tracked count of live bucket rows: n_live must not cost a
     # device mask transfer on the upload hot path
     live_count: int = 0
+    # True when the bucket store is too large for functional updates: the
+    # non-donated scatter (kept so lock-free readers can hold old
+    # snapshots) needs a SECOND copy of the codes, which cannot exist at
+    # HBM-limit scale (observed: 14.4 GiB index on a 16 GiB chip,
+    # streaming insert -> RESOURCE_EXHAUSTED). Frozen buckets route every
+    # insert to the spill tail; tombstone deletes still work (the mask
+    # copy is small); the next full rebuild re-packs
+    frozen: bool = False
 
     @property
     def k_clusters(self) -> int:
@@ -331,6 +348,14 @@ class IVFIndex:
         np.cumsum(counts, out=starts[1:])
         slot = np.arange(n, dtype=np.int64) - starts[sorted_cid]
 
+        big = n >= 4_000_000  # log phases at scale (boot observability)
+        if big:
+            from ..logger import sugar
+
+            import time as _t
+
+            _t0 = _t.perf_counter()
+
         def scatter(field, fill=0):
             src = np.asarray(field)
             out_shape = (kk, cap) + src.shape[1:]
@@ -344,12 +369,29 @@ class IVFIndex:
             offset=jnp.asarray(scatter(packed.offset)),
             inv_norm=jnp.asarray(scatter(packed.inv_norm)),
         )
+        if big:
+            sugar().info(
+                "ivf build: bucket scatter+upload queued %.1fs (K=%d cap=%d)",
+                _t.perf_counter() - _t0, kk, cap,
+            )
         bucket_mask = np.zeros((kk, cap), np.bool_)
         bucket_mask[sorted_cid, slot] = True
         id_grid = np.zeros((kk, cap), np.int64)
         id_grid[sorted_cid, slot] = ids[order]
 
         cents = jnp.asarray(centroids, jnp.float32)
+        frozen = (
+            hbm_budget is not None
+            and 2 * kk * cap * (d + 13) > hbm_budget
+        )
+        if frozen:
+            from ..logger import sugar
+
+            sugar().info(
+                "bucket store frozen (2x%.1f GB copies exceed the %.1f GB "
+                "budget): streaming inserts go to the spill tail",
+                kk * cap * (d + 13) / 2**30, hbm_budget / 2**30,
+            )
         return IVFIndex(
             centroids=cents,
             centroids_n=cosine.l2_normalize(cents),
@@ -361,6 +403,7 @@ class IVFIndex:
             ids=id_grid,
             spill=FlatIndex.create(d),
             live_count=n,
+            frozen=frozen,
         )
 
     # ---- queries ----
@@ -459,6 +502,11 @@ class IVFIndex:
             return self
         ids = np.asarray(ids, np.int64)
         new_host = PackedVectors(*[np.asarray(a) for a in new])
+        if self.frozen:
+            # no functional bucket update possible at this scale (see the
+            # frozen field); the spill tail is scanned alongside
+            spill = self.spill.append(new_host, ids)
+            return replace(self, spill=spill)
         cid = self.assign(new_host) if cids is None else np.asarray(cids, np.int64)
 
         # Host slot allocation: sequential slots per cluster, duplicates get
@@ -574,11 +622,16 @@ class IVFIndex:
         wanted = np.asarray(wanted, np.int64)
         hit = np.isin(self.ids, wanted) & self.mask_host
         cid, slot = np.nonzero(hit)
+        # gather ON DEVICE, transfer only the [m, D] result — a host-side
+        # fancy index would first device_get the whole bucket store (15+ GB
+        # at 10M scale, which the remote tunnel cannot move in one call)
+        dcid = jnp.asarray(cid, jnp.int32)
+        dslot = jnp.asarray(slot, jnp.int32)
         packed = PackedVectors(
-            codes=np.asarray(self.buckets.codes)[cid, slot],
-            scale=np.asarray(self.buckets.scale)[cid, slot],
-            offset=np.asarray(self.buckets.offset)[cid, slot],
-            inv_norm=np.asarray(self.buckets.inv_norm)[cid, slot],
+            codes=np.asarray(self.buckets.codes[dcid, dslot]),
+            scale=np.asarray(self.buckets.scale[dcid, dslot]),
+            offset=np.asarray(self.buckets.offset[dcid, dslot]),
+            inv_norm=np.asarray(self.buckets.inv_norm[dcid, dslot]),
         )
         ids = self.ids[cid, slot]
         if self.spill.live > 0:
@@ -618,13 +671,35 @@ class IVFIndex:
         nearest-centroid pass (small — spill is bounded by compaction),
         otherwise assignments is returned as None when spill rows exist.
         Used by the snapshot path: re-assigning the whole corpus was a full
-        extra device pass per snapshot at 10M scale (VERDICT r2 weak#7)."""
+        extra device pass per snapshot at 10M scale (VERDICT r2 weak#7).
+
+        The device read is CHUNKED by cluster ranges: one np.asarray of the
+        full bucket store is a single 15+ GB device_get at 10M scale, which
+        the remote tunnel never completes (observed wedged >30 min with
+        zero traffic); ~256 MB slices via ONE jitted dynamic-slice program
+        stream fine."""
         cid, slot = np.nonzero(self.mask_host)
+        kk, cap, d = self.buckets.codes.shape
+        # cluster-range chunks of ~256 MB of codes each
+        step = min(kk, max(1, (256 << 20) // max(1, cap * d)))
+        parts = {"codes": [], "scale": [], "offset": [], "inv_norm": []}
+        for c0 in range(0, kk, step):
+            c1 = min(c0 + step, kk)
+            # dynamic_slice clamps: the tail chunk starts at kk-step and
+            # overlaps the previous one; local indices are vs actual start
+            s = min(c0, kk - step)
+            sel = (cid >= c0) & (cid < c1)
+            lcid, lslot = cid[sel] - s, slot[sel]
+            for name in parts:
+                block = np.asarray(
+                    _slice_clusters(getattr(self.buckets, name), s, step)
+                )
+                parts[name].append(block[lcid, lslot])
         packed = PackedVectors(
-            codes=np.asarray(self.buckets.codes)[cid, slot],
-            scale=np.asarray(self.buckets.scale)[cid, slot],
-            offset=np.asarray(self.buckets.offset)[cid, slot],
-            inv_norm=np.asarray(self.buckets.inv_norm)[cid, slot],
+            codes=np.concatenate(parts["codes"]),
+            scale=np.concatenate(parts["scale"]),
+            offset=np.concatenate(parts["offset"]),
+            inv_norm=np.concatenate(parts["inv_norm"]),
         )
         ids = self.ids[cid, slot]
         assignments: np.ndarray | None = cid.astype(np.int32)

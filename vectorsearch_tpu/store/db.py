@@ -377,10 +377,16 @@ class Store:
         re-assignment pass — SQL already holds the authoritative
         assignment (inserts persist it, rebuilds rewrite it)."""
         with self._lock:
+            # CROSS JOIN pins the join order: drive from the embeddings
+            # PRIMARY KEY (rowid>?, already in ORDER BY order) and probe
+            # documents per row. SQLite's default plan drives from the
+            # documents category index and sorts each page through a TEMP
+            # B-TREE — measured 4.15s vs 0.11s per 50k page on a 10M-row
+            # store (the r3 cold-boot bottleneck).
             rows = self._conn.execute(
                 "SELECT e.id, e.vector, e.document_id, e.centroid_id "
                 "FROM embeddings e "
-                "JOIN documents d ON d.id = e.document_id "
+                "CROSS JOIN documents d ON d.id = e.document_id "
                 "WHERE d.category_id=? AND e.id>? ORDER BY e.id LIMIT ?",
                 (category_id, after_id, batch),
             ).fetchall()
@@ -487,9 +493,10 @@ class Store:
         GBs at the 10M BASELINE config; arrays cost 16)."""
         chunks = []
         with self._lock:
+            # CROSS JOIN: drive from the embeddings PK (see embeddings_page)
             cur = self._conn.execute(
                 "SELECT e.id, e.document_id FROM embeddings e "
-                "JOIN documents d ON d.id = e.document_id "
+                "CROSS JOIN documents d ON d.id = e.document_id "
                 "WHERE d.category_id=? ORDER BY e.id",
                 (category_id,),
             )
