@@ -359,3 +359,59 @@ def test_client_disconnect_cancels_engine(engine):
         release_embed.set()
     # the engine never dispatched to the device for the dead client
     assert engine._batcher.stats()["dispatches"] == d0
+
+
+def test_batch_search_route(engine):
+    async def flow(client):
+        r = await client.post(
+            "/api/upload",
+            json={"owner": "a", "category": "c", "documents": FRUIT_DOCS},
+        )
+        up = await r.json()
+
+        r = await client.post(
+            "/api/search",
+            json={
+                "owner": "a", "category": "c",
+                "texts": ["banana tropical", "gearbox road"], "count": 2,
+            },
+        )
+        assert r.status == 200
+        res = await r.json()
+        assert len(res["results"]) == 2
+        assert res["results"][0]["documents"][0]["name"] == "bananas"
+        assert (
+            res["results"][0]["documents"][0]["document_id"]
+            == up["document_ids"][1]
+        )
+        assert res["results"][1]["documents"][0]["name"] == "cars"
+        # full document payloads by default
+        assert res["results"][0]["documents"][0]["document"] == {
+            "text": "banana plantation tropical fruit"
+        }
+
+        # ids-only variant skips document payloads
+        r = await client.post(
+            "/api/search",
+            json={
+                "owner": "a", "category": "c",
+                "texts": ["banana tropical"], "count": 2,
+                "include_documents": False,
+            },
+        )
+        res = await r.json()
+        doc = res["results"][0]["documents"][0]
+        assert doc["document"] is None
+        assert doc["name"] == ""
+        assert doc["document_id"] == up["document_ids"][1]
+        assert 0 < doc["document_similarity"] <= 1.01
+
+        # empty texts list -> empty results, not an error
+        r = await client.post(
+            "/api/search",
+            json={"owner": "a", "category": "c", "texts": []},
+        )
+        assert r.status == 200
+        assert (await r.json())["results"] == []
+
+    run(engine, flow)

@@ -646,3 +646,86 @@ def test_boot_saves_snapshot_from_host_and_clean_close_skips_export(tmp_path):
     finally:
         IVFIndex.export_live_assigned = real_export
     store.close()
+
+
+# ---------------------------------------------------------------- batch search
+
+
+def test_search_many_matches_single(engine):
+    ids = engine.upload("alice", "docs", FRUIT_DOCS)
+    assert len(ids) == 3
+    queries = ["banana tropical", "gearbox road", "apple orchard"]
+    pages = engine.search_many("alice", "docs", queries, count=3)
+    assert len(pages) == 3
+    for q, page in zip(queries, pages):
+        single = engine.search("alice", "docs", q, count=3)
+        assert [h.document_id for h in page] == [h.document_id for h in single]
+        assert [h.name for h in page] == [h.name for h in single]
+        for a, b in zip(page, single):
+            assert a.similarity == pytest.approx(b.similarity, abs=1e-6)
+            assert a.document == b.document
+
+
+def test_search_many_ids_only_skips_documents(engine):
+    engine.upload("alice", "docs", FRUIT_DOCS)
+    store = engine.store
+    calls = []
+    real_fetch = store.fetch_documents
+    store.fetch_documents = lambda ids: calls.append(ids) or real_fetch(ids)
+    try:
+        pages = engine.search_many(
+            "alice", "docs", ["banana tropical"], count=2,
+            include_documents=False,
+        )
+    finally:
+        store.fetch_documents = real_fetch
+    assert calls == []  # SQL fetch skipped entirely
+    assert pages[0]
+    assert pages[0][0].document is None
+    assert pages[0][0].name == ""
+    single = engine.search("alice", "docs", "banana tropical", count=2)
+    assert [h.document_id for h in pages[0]] == [h.document_id for h in single]
+
+
+def test_search_many_empty_and_unknown(engine):
+    assert engine.search_many("alice", "docs", []) == []
+    assert engine.search_many("nobody", "docs", ["x", "y"]) == [[], []]
+    engine.upload("alice", "docs", FRUIT_DOCS[:1])
+    assert engine.search_many("alice", "other", ["x"]) == [[]]
+
+
+def test_search_many_deep_window_falls_back_to_exact(tmp_path):
+    """A row whose k-class candidates dedup below the requested window
+    must fall back to the escalating single path (same exact-window
+    guarantee as Engine.search deep pagination)."""
+    store = Store(":memory:")
+    eng = Engine(store, TinyCtxAI(), cache=EngineCache(ttl=0.0))
+    docs = [
+        {
+            "name": f"d{i}",
+            "document": {
+                "text": "\n".join(f"melon slice {i} part {j}" for j in range(12))
+            },
+        }
+        for i in range(8)
+    ]
+    eng.upload("o", "c", docs)
+    eng.ai = WordHashAI()
+    # want=8 -> k class 32; each doc contributes many sections so 32
+    # candidates dedup below 8 docs and the batched row must escalate
+    single_calls = []
+    real_search = eng.search
+
+    def counting_search(*a, **kw):
+        single_calls.append(a)
+        return real_search(*a, **kw)
+
+    eng.search = counting_search
+    pages = eng.search_many("o", "c", ["melon slice"], count=4, offset=4)
+    eng.search = real_search
+    assert single_calls  # the short row really took the fallback path
+    single = eng.search("o", "c", "melon slice", count=4, offset=4)
+    assert [h.document_id for h in pages[0]] == [h.document_id for h in single]
+    assert len(pages[0]) == 4
+    eng.close()
+    store.close()

@@ -161,7 +161,36 @@ def build_app(engine: Engine) -> web.Application:
         return wrapped
 
     # ---- search (server/search.go:45-112) ----
+    def _hit_dict(h):
+        return {
+            "name": h.name,
+            "external_id": h.external_id,
+            "document": h.document,
+            "document_id": h.document_id,
+            "document_similarity": h.similarity,
+        }
+
     def do_search(req, cancel):
+        texts = req.get("texts")
+        if texts is not None:
+            # batched extension: N queries in one request -> one device
+            # dispatch per batch class (engine.search_many docstring)
+            pages = engine.search_many(
+                req.get("owner", ""),
+                req.get("category", ""),
+                [str(t) for t in texts],
+                count=int(req.get("count", 0) or 0) or 1,
+                offset=int(req.get("offset", 0) or 0),
+                centroids=int(req.get("centroids", 0) or 0),
+                include_documents=bool(req.get("include_documents", True)),
+                cancel=cancel,
+            )
+            return {
+                "results": [
+                    {"documents": [_hit_dict(h) for h in page]}
+                    for page in pages
+                ]
+            }
         hits = engine.search(
             req.get("owner", ""),
             req.get("category", ""),
@@ -171,18 +200,7 @@ def build_app(engine: Engine) -> web.Application:
             centroids=int(req.get("centroids", 0) or 0),
             cancel=cancel,
         )
-        return {
-            "documents": [
-                {
-                    "name": h.name,
-                    "external_id": h.external_id,
-                    "document": h.document,
-                    "document_id": h.document_id,
-                    "document_similarity": h.similarity,
-                }
-                for h in hits
-            ]
-        }
+        return {"documents": [_hit_dict(h) for h in hits]}
 
     # ---- upload (server/upload.go:40-108) ----
     def do_upload(req, cancel):

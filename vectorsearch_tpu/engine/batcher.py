@@ -135,6 +135,38 @@ class QueryBatcher:
         scores, ids = batch.result
         return scores[idx], ids[idx]
 
+    def submit_many(self, rows: list[np.ndarray], run_fn):
+        """Score an explicit batch of query rows (the batched /api/search
+        path). Unlike submit(), the caller already HAS a batch, so there
+        is nothing to coalesce: chunk at the max batch class and dispatch
+        each chunk under the device semaphore (serialized with concurrent
+        single-query batches — one device program at a time).
+
+        run_fn(queries f32[M, D]) -> (scores[M, k], ids[M, k]).
+        Returns (scores[N, k], ids[N, k]) for the N input rows.
+        """
+        out_scores, out_ids = [], []
+        for start in range(0, len(rows), self.max_batch):
+            chunk = rows[start : start + self.max_batch]
+            m = len(chunk)
+            m_pad = _pad_class(m, self.max_batch)
+            q = np.stack(chunk)
+            if m_pad > m:
+                q = np.concatenate(
+                    [q, np.broadcast_to(q[:1], (m_pad - m,) + q.shape[1:])]
+                )
+            self._device.acquire()
+            try:
+                scores, ids = run_fn(q)
+            finally:
+                self._device.release()
+            with self._lock:
+                self.dispatches += 1
+                self.rows_served += m
+            out_scores.append(np.asarray(scores)[:m])
+            out_ids.append(np.asarray(ids)[:m])
+        return np.concatenate(out_scores), np.concatenate(out_ids)
+
     def stats(self) -> dict:
         with self._lock:
             return {

@@ -911,6 +911,153 @@ class Engine:
         sugar().info("%d search: %d hits", txid, len(out))
         return out
 
+    def search_many(
+        self,
+        owner_name: str,
+        category_name: str,
+        texts: list[str],
+        count: int = 10,
+        offset: int = 0,
+        centroids: int = 0,
+        include_documents: bool = True,
+        cancel: threading.Event | None = None,
+    ) -> list[list[SearchHit]]:
+        """Batched search: N queries -> ONE embed call + one device
+        dispatch per MAX_QUERY_BATCH chunk + one SQL document fetch.
+
+        The single-query path reaches batched-device throughput only when
+        enough concurrent CLIENTS exist to coalesce (engine/batcher.py);
+        on hosts where per-request HTTP/Python overhead dominates (this
+        VM serves on one core), an explicit query batch is the only way a
+        client can drive the device at its batched rate. The reference
+        has no equivalent (one query per request, server/search.go:115);
+        this is a TPU-native extension, shape-compatible with the single
+        path (same k/nprobe/batch size classes, so warmup covers it).
+
+        Returns one SearchHit page per input text. With
+        include_documents=False the SQL fetch is skipped and hits carry
+        ids + similarities only (name/external_id empty, document None).
+        """
+        txid = next_txid()
+        if not texts:
+            return []
+        count = max(1, min(int(count), MAX_RESULTS))
+        offset = max(0, int(offset))
+        nprobe = int(centroids)
+        if nprobe == 0:
+            nprobe = 1
+
+        owner = self.cache.owners.get_or_load(
+            owner_name, lambda: self.store.get_owner(owner_name)
+        )
+        if owner is None:
+            return [[] for _ in texts]
+        category = self.cache.categories.get_or_load(
+            (category_name, owner.id),
+            lambda: self.store.get_category(owner.id, category_name),
+        )
+        if category is None:
+            return [[] for _ in texts]
+        state = self._state_for(category.id, create=False)
+        if state is None or state.ivf is None or state.ivf.n_live == 0:
+            return [[] for _ in texts]
+        ivf = state.ivf
+        _check_cancel(cancel)
+
+        wires = self.ai.embed(
+            [f"search_query: {t}" for t in texts], self.ai.embed_model()
+        )
+        queries = codec.dequantize(np.asarray(wires, np.uint8))
+        _check_cancel(cancel)
+
+        want = count + offset
+        k = _k_class(want)
+        target = state.sharded if state.sharded is not None else ivf
+        scores, ids = self._batcher.submit_many(
+            list(queries),
+            lambda qb: target.search(qb, k=k, nprobe=nprobe, refine=k),
+        )
+        _check_cancel(cancel)
+
+        # per-row dedup; rows whose window dedups short with candidates
+        # left in the probed pool fall back to the single path (which
+        # escalates the k class) — rare, and only for deep windows
+        pages: list[list[tuple[int, float]] | None] = []
+        fallback_rows: list[int] = []
+        for i in range(len(texts)):
+            hits: list[tuple[int, float]] = []
+            seen: set[int] = set()
+            row_ids = ids[i]
+            for emb_id, score in zip(row_ids, scores[i]):
+                if emb_id < 0:
+                    continue
+                doc_id = state.doc_map.get(int(emb_id))
+                if doc_id is None or doc_id in seen:
+                    continue
+                seen.add(doc_id)
+                hits.append((doc_id, float(score)))
+                if len(hits) >= want:
+                    break
+            if len(hits) < want and int((np.asarray(row_ids) >= 0).sum()) >= k:
+                pages.append(None)
+                fallback_rows.append(i)
+            else:
+                pages.append(hits[offset : offset + count])
+
+        fallback_pages: dict[int, list[SearchHit]] = {}
+        for i in fallback_rows:
+            _check_cancel(cancel)
+            fallback_pages[i] = self.search(
+                owner_name, category_name, texts[i],
+                count=count, offset=offset, centroids=centroids,
+                cancel=cancel,
+            )
+
+        docs = {}
+        if include_documents:
+            uniq = sorted({
+                doc_id
+                for page in pages
+                if page is not None
+                for doc_id, _ in page
+            })
+            # chunk the IN(...) list to stay clear of SQLite's bound-
+            # variable limit (999 in older builds)
+            for s in range(0, len(uniq), 900):
+                for d in self.store.fetch_documents(uniq[s : s + 900]):
+                    docs[d.id] = d
+        _check_cancel(cancel)
+
+        out: list[list[SearchHit]] = []
+        for i, page in enumerate(pages):
+            if page is None:
+                hits = fallback_pages[i]
+                if not include_documents:
+                    hits = [
+                        SearchHit(h.document_id, h.similarity, "", "", None)
+                        for h in hits
+                    ]
+                out.append(hits)
+                continue
+            row_out = []
+            for doc_id, score in page:
+                if include_documents:
+                    d = docs.get(doc_id)
+                    if d is None:
+                        continue
+                    row_out.append(
+                        SearchHit(doc_id, score, d.name, d.external_id,
+                                  d.document)
+                    )
+                else:
+                    row_out.append(SearchHit(doc_id, score, "", "", None))
+            out.append(row_out)
+        sugar().info(
+            "%d search_many: %d queries, %d hits", txid, len(texts),
+            sum(len(p) for p in out),
+        )
+        return out
+
     # ------------------------------------------------------------------- chat
 
     def chat(
