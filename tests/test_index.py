@@ -308,8 +308,9 @@ class TestHBMBudget:
         bytes_per_slot = free.dim + 13
         floor = IVFIndex.build(packed, ids, cents, headroom=1.0)
         assert free.cap > floor.cap  # the corpus actually exercises headroom
-        # budget exactly at the floor footprint: cap must clamp to floor
-        budget = floor.k_clusters * floor.cap * bytes_per_slot
+        # budget exactly at the floor footprint (hbm_bytes includes the
+        # empty spill tail's reserve): cap must clamp to floor
+        budget = floor.hbm_bytes
         clamped = IVFIndex.build(
             packed, ids, cents, headroom=1.25, hbm_budget=budget
         )

@@ -153,7 +153,15 @@ class DocMap:
             k = int(k)
             if k in self._overlay:
                 self._n -= 1
-                return self._overlay.pop(k)
+                val = self._overlay.pop(k)
+                # the overlay may SHADOW an older array entry (update() of
+                # an existing key): tombstone it too, or the stale array
+                # value would resurrect on the next get()
+                if self._in_arrays(k) >= 0:
+                    self._deleted.add(k)
+                    if len(self._deleted) >= MERGE_THRESHOLD:
+                        self._merge()
+                return val
             if k in self._deleted:
                 return default
             i = self._in_arrays(k)

@@ -335,8 +335,26 @@ class Engine:
         t_index = _time.perf_counter()
         # save the snapshot NOW, from the host arrays in hand — close()
         # then skips the (device-export) save unless the index mutates
-        if self.snapshot_dir is not None and assignments is not None:
+        if self.snapshot_dir is not None:
             try:
+                if assignments is None:
+                    # orphan-centroid path: derive assignments from bucket
+                    # membership (host mirrors) instead of skipping the
+                    # write — a skipped snapshot meant every later boot of
+                    # a read-only category re-paid the slow SQL path
+                    hids, hassign = state.ivf.host_assignments()
+                    order = np.argsort(hids)
+                    boot_ids = np.asarray(ids, np.int64)
+                    pos = np.searchsorted(hids[order], boot_ids)
+                    if (
+                        hids.size != boot_ids.size
+                        or not np.array_equal(
+                            hids[order][np.minimum(pos, hids.size - 1)],
+                            boot_ids,
+                        )
+                    ):
+                        raise RuntimeError("index ids diverge from boot rows")
+                    assignments = hassign[order][pos].astype(np.int32)
                 self._write_snapshot(
                     category_id, packed, np.asarray(ids, np.int64),
                     assignments, np.asarray(doc_ids, np.int64), centroids,

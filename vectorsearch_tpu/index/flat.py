@@ -121,11 +121,20 @@ class FlatIndex:
     def capacity(self) -> int:
         return self.packed.codes.shape[0]
 
+    @property
+    def hbm_bytes(self) -> int:
+        """Device footprint: codes + f32 scale/offset/inv_norm + bool mask."""
+        return self.capacity * (self.dim + 13)
+
     # ---- construction ----
 
     @staticmethod
-    def create(dim: int, capacity: int = constants.BUCKET_ROUND) -> "FlatIndex":
-        cap = round_capacity(capacity)
+    def create(dim: int, capacity: int | None = None) -> "FlatIndex":
+        # default resolved at call time so a monkeypatched BUCKET_ROUND
+        # (tests) keeps hbm_bytes consistent with IVFIndex.build's reserve
+        cap = round_capacity(
+            constants.BUCKET_ROUND if capacity is None else capacity
+        )
         return FlatIndex(
             packed=PackedVectors(
                 codes=jnp.zeros((cap, dim), jnp.int8),

@@ -317,8 +317,14 @@ class IVFIndex:
         if hbm_budget is not None:
             # int8 code bytes + 3 f32 sidecars + device bool mask per slot
             bytes_per_slot = d + 13
+            # reserve the empty spill tail's fixed allocation (hbm_bytes
+            # counts it, so the budget must too or the invariant
+            # hbm_bytes <= budget breaks right at the boundary)
+            bucket_budget = max(
+                0, hbm_budget - constants.BUCKET_ROUND * bytes_per_slot
+            )
             floor_cap = bucket_capacity(max_count, 1.0)
-            fit_cap = (hbm_budget // (kk * bytes_per_slot)) if kk else cap
+            fit_cap = (bucket_budget // (kk * bytes_per_slot)) if kk else cap
             fit_cap = (fit_cap // constants.BUCKET_ROUND) * constants.BUCKET_ROUND
             clamped = max(floor_cap, min(cap, fit_cap))
             if clamped != cap:
@@ -331,7 +337,7 @@ class IVFIndex:
                     kk * clamped * bytes_per_slot / 2**30,
                 )
                 cap = clamped
-            if kk * cap * bytes_per_slot > hbm_budget:
+            if kk * cap * bytes_per_slot > bucket_budget:
                 from ..logger import sugar
 
                 sugar().warning(
@@ -382,7 +388,8 @@ class IVFIndex:
         cents = jnp.asarray(centroids, jnp.float32)
         frozen = (
             hbm_budget is not None
-            and 2 * kk * cap * (d + 13) > hbm_budget
+            and 2 * kk * cap * (d + 13)
+            > hbm_budget - constants.BUCKET_ROUND * (d + 13)
         )
         if frozen:
             from ..logger import sugar
@@ -734,11 +741,38 @@ class IVFIndex:
                     assignments = None
         return packed, ids, assignments
 
+    def host_assignments(self) -> tuple[np.ndarray, np.ndarray]:
+        """(ids, cluster assignment) for every live row, from the HOST
+        mirrors — no bucket-store device read. Bucket membership IS the
+        assignment; only spill rows (small, bounded by compaction) pay a
+        nearest-centroid device pass."""
+        cid, slot = np.nonzero(self.mask_host)
+        ids = self.ids[cid, slot]
+        assignments = cid.astype(np.int32)
+        if self.spill.live > 0:
+            smask = self.spill.mask_host[: self.spill.n]
+            keep = np.nonzero(smask)[0]
+            if keep.size:
+                spill_rows = PackedVectors(
+                    *[np.asarray(a)[keep] for a in self.spill.packed]
+                )
+                spill_cid = assign_clusters(
+                    spill_rows, np.asarray(self.centroids)
+                )
+                ids = np.concatenate([ids, self.spill.ids[keep]])
+                assignments = np.concatenate(
+                    [assignments, spill_cid.astype(np.int32)]
+                )
+        return ids, assignments
+
     @property
     def hbm_bytes(self) -> int:
-        """Device footprint of the packed buckets (codes + sidecars + mask)."""
+        """Device footprint: packed buckets (codes + sidecars + mask) PLUS
+        the spill tail — which is exactly the part that grows without
+        bound on a frozen index, so excluding it would let the HBM budget
+        under-count the category (review r3 finding #2)."""
         kk, cap, d = self.buckets.codes.shape
-        return kk * cap * (d + 13)
+        return kk * cap * (d + 13) + self.spill.hbm_bytes
 
     def compact(
         self, headroom: float = 1.25, hbm_budget: int | None = None
