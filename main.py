@@ -88,7 +88,8 @@ def build_store(cfg: config_mod.Config):
             list(cfg.database.postgres), list(cfg.database.postgres_readonly)
         )
         sugar().info(
-            "using postgres primary (+%d writers, %d read replicas)",
+            "using postgres primary (+%d write failover DSNs, "
+            "%d read replicas)",
             len(cfg.database.postgres) - 1,
             len(cfg.database.postgres_readonly),
         )

@@ -696,8 +696,9 @@ def test_search_many_empty_and_unknown(engine):
 
 def test_search_many_deep_window_falls_back_to_exact(tmp_path):
     """A row whose k-class candidates dedup below the requested window
-    must fall back to the escalating single path (same exact-window
-    guarantee as Engine.search deep pagination)."""
+    must fall back to the escalating window helper (same exact-window
+    guarantee as Engine.search deep pagination) WITHOUT re-embedding
+    the query — the batched embed is reused."""
     store = Store(":memory:")
     eng = Engine(store, TinyCtxAI(), cache=EngineCache(ttl=0.0))
     docs = [
@@ -713,17 +714,27 @@ def test_search_many_deep_window_falls_back_to_exact(tmp_path):
     eng.ai = WordHashAI()
     # want=8 -> k class 32; each doc contributes many sections so 32
     # candidates dedup below 8 docs and the batched row must escalate
-    single_calls = []
-    real_search = eng.search
+    window_calls = []
+    real_window = eng._window_hits
 
-    def counting_search(*a, **kw):
-        single_calls.append(a)
-        return real_search(*a, **kw)
+    def counting_window(*a, **kw):
+        window_calls.append(a)
+        return real_window(*a, **kw)
 
-    eng.search = counting_search
+    embed_calls = []
+    real_embed = eng.ai.embed
+
+    def counting_embed(texts, model):
+        embed_calls.append(list(texts))
+        return real_embed(texts, model)
+
+    eng._window_hits = counting_window
+    eng.ai.embed = counting_embed
     pages = eng.search_many("o", "c", ["melon slice"], count=4, offset=4)
-    eng.search = real_search
-    assert single_calls  # the short row really took the fallback path
+    eng._window_hits = real_window
+    eng.ai.embed = real_embed
+    assert window_calls  # the short row really took the fallback path
+    assert len(embed_calls) == 1  # fallback reused the batched embed
     single = eng.search("o", "c", "melon slice", count=4, offset=4)
     assert [h.document_id for h in pages[0]] == [h.document_id for h in single]
     assert len(pages[0]) == 4

@@ -308,3 +308,114 @@ def test_pgstore_embeddings_page_tuple_shape():
         store.close()
     finally:
         primary.close()
+
+
+# ------------------------------------------------ connection failure healing
+
+
+def test_connection_broken_after_mid_query_drop():
+    """A socket failure mid-exchange desynchronizes the framing: the
+    connection must mark itself broken, raise ConnectionError, and refuse
+    any reuse until replaced (pgwire.PgConnection.execute docstring)."""
+    mock = MockPg()
+    mock.on(r"SELECT boom", ("drop",))
+    try:
+        conn = PgConnection(mock.dsn)
+        with pytest.raises(ConnectionError):
+            conn.execute("SELECT boom")
+        assert conn.broken
+        with pytest.raises(ConnectionError):  # refuses reuse outright
+            conn.execute("SELECT 1")
+    finally:
+        mock.close()
+
+
+def test_pgstore_read_falls_back_to_primary_when_replica_down():
+    """A replica that keeps dying serves its read from the primary."""
+    primary = MockPg()
+    primary.on(
+        r"SELECT id, name FROM owners", ([("id", INT8), ("name", TEXT)],
+                                         [(7, "o")], "SELECT 1")
+    )
+    replica = MockPg()
+    replica.on(r"SELECT id, name FROM owners", ("drop",))
+    try:
+        store = PgStore([primary.dsn], [replica.dsn])
+        assert store.get_owner("o").id == 7
+        assert any("FROM owners" in q for q in primary.queries)
+        store.close()
+    finally:
+        primary.close()
+        replica.close()
+
+
+def test_pgstore_read_reconnects_replica_after_one_drop():
+    """A transient replica failure retries once on a FRESH replica
+    connection — the primary is not bothered."""
+    primary = MockPg()
+    replica = MockPg()
+    state = {"n": 0}
+
+    def once(m, sql):
+        state["n"] += 1
+        if state["n"] == 1:
+            return ("drop",)
+        return ([("id", INT8), ("name", TEXT)], [(9, "o")], "SELECT 1")
+
+    replica.on(r"SELECT id, name FROM owners", once)
+    try:
+        store = PgStore([primary.dsn], [replica.dsn])
+        assert store.get_owner("o").id == 9
+        assert not any("FROM owners" in q for q in primary.queries)
+        store.close()
+    finally:
+        primary.close()
+        replica.close()
+
+
+def test_pgstore_write_fails_over_across_write_dsns():
+    """Extra postgres DSNs are write-failover candidates (the reference
+    registers them as additional resolver sources,
+    database/database.go:86-103). A mid-statement write failure is NEVER
+    silently retried — the error surfaces, and the NEXT write lands on
+    the healed failover DSN."""
+    p1, p2 = MockPg(), MockPg()
+    p2.on(
+        r"SELECT id, name FROM owners", ([("id", INT8), ("name", TEXT)],
+                                         [(1, "o")], "SELECT 1")
+    )
+    try:
+        store = PgStore([p1.dsn, p2.dsn])
+        p1.on(r"INSERT INTO owners", ("drop",))
+        p1.close()  # listener gone too: reconnect must roll to p2
+        with pytest.raises(ConnectionError):
+            store.get_or_create_owner("o")  # surfaced, not retried
+        assert not any("INSERT INTO owners" in q for q in p2.queries)
+        assert store.get_or_create_owner("o").id == 1  # healed onto p2
+        assert any("INSERT INTO owners" in q for q in p2.queries)
+        store.close()
+    finally:
+        p1.close()
+        p2.close()
+
+
+def test_pgstore_txn_drop_heals_for_next_caller():
+    """A connection death inside a transaction surfaces the original
+    error (the server already aborted the txn) and leaves the store
+    healed — the next transaction runs on the failover DSN."""
+    p1, p2 = MockPg(), MockPg()
+    ret_id = ([("id", INT8)], [(5,)], "INSERT 0 1")
+    p2.on(r"INSERT INTO documents.*RETURNING id", ret_id)
+    try:
+        store = PgStore([p1.dsn, p2.dsn])
+        p1.on(r"INSERT INTO documents", ("drop",))
+        p1.close()
+        with pytest.raises(ConnectionError):
+            store.insert_documents(1, [("n", "", {"t": "x"})])
+        assert store.insert_documents(1, [("n", "", {"t": "x"})]) == [5]
+        assert any("BEGIN" in q for q in p2.queries)
+        assert any("COMMIT" in q for q in p2.queries)
+        store.close()
+    finally:
+        p1.close()
+        p2.close()

@@ -27,6 +27,7 @@ import threading
 
 from aiohttp import web
 
+from .. import constants
 from ..engine import Engine
 from ..engine.engine import RequestCanceled
 from ..logger import next_txid, sugar
@@ -174,11 +175,21 @@ def build_app(engine: Engine) -> web.Application:
         texts = req.get("texts")
         if texts is not None:
             # batched extension: N queries in one request -> one device
-            # dispatch per batch class (engine.search_many docstring)
+            # dispatch per batch class (engine.search_many docstring).
+            # Must be a JSON array: a bare string would iterate per
+            # CHARACTER; bound the size like count is bounded (1..20)
+            if not isinstance(texts, list) or not all(
+                isinstance(t, str) for t in texts
+            ):
+                raise ValueError("texts must be an array of strings")
+            if len(texts) > constants.MAX_QUERY_BATCH:
+                raise ValueError(
+                    f"texts exceeds {constants.MAX_QUERY_BATCH} queries"
+                )
             pages = engine.search_many(
                 req.get("owner", ""),
                 req.get("category", ""),
-                [str(t) for t in texts],
+                texts,
                 count=int(req.get("count", 0) or 0) or 1,
                 offset=int(req.get("offset", 0) or 0),
                 centroids=int(req.get("centroids", 0) or 0),

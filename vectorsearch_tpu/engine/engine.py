@@ -800,6 +800,85 @@ class Engine:
     # short page + warning)
     MAX_ESCALATED_K = 65_536
 
+    def _window_hits(
+        self,
+        state,
+        query_vec: np.ndarray,
+        count: int,
+        offset: int,
+        nprobe: int,
+        cancel: threading.Event | None,
+        txid: int,
+    ) -> list[tuple[int, float]]:
+        """Dedup window over an ALREADY-EMBEDDED query: dispatch at the
+        pow2 k class, per-document dedup, escalate the class and
+        re-dispatch while the window is short and the probed pool holds
+        more (exact pagination at any offset — the reference scans the
+        whole probed set per request, server/search.go:241-273). Shared
+        by search() and search_many()'s deep-window fallback so the
+        fallback never re-embeds or re-resolves owner/category."""
+        ivf = state.ivf
+        # Over-fetch to survive per-document dedup (multiple sections per
+        # doc), in pow2 size classes shared with warmup (see _k_class).
+        want = count + offset
+        k = _k_class(want)
+        # refine=k: exact f32 re-rank of the whole over-fetched candidate
+        # set (removes query-quantization ordering noise at ~zero cost).
+        # Concurrent requests with the same (snapshot, k, nprobe) coalesce
+        # into ONE device dispatch (engine/batcher.py) — the TPU-native
+        # equivalent of the reference's per-request goroutine concurrency
+        # (server/search.go:45).
+        target = state.sharded if state.sharded is not None else ivf
+        # the probed candidate pool is bounded by nprobe*cap (+spill)
+        if hasattr(target, "cap"):
+            nprobe_eff = nprobe if nprobe > 0 else ivf.k_clusters
+            nprobe_eff = max(1, min(nprobe_eff, ivf.k_clusters))
+            pool = nprobe_eff * target.cap
+            if isinstance(target, IVFIndex):
+                pool += target.spill.live
+            pool = min(pool, ivf.n_live)
+        else:
+            pool = ivf.n_live
+        while True:
+            k_req = k
+            scores_row, ids_row = self._batcher.submit(
+                (id(target), k_req, nprobe),
+                target,
+                query_vec,
+                lambda qb: target.search(qb, k=k_req, nprobe=nprobe, refine=k_req),
+            )
+            hits: list[tuple[int, float]] = []
+            seen: set[int] = set()
+            for emb_id, score in zip(ids_row, scores_row):
+                if emb_id < 0:
+                    continue
+                doc_id = state.doc_map.get(int(emb_id))
+                if doc_id is None or doc_id in seen:
+                    continue
+                seen.add(doc_id)
+                hits.append((doc_id, float(score)))
+                if len(hits) >= want:
+                    break
+            if len(hits) >= want:
+                break
+            n_valid = int((np.asarray(ids_row) >= 0).sum())
+            if n_valid < k or k >= pool:
+                break  # the probed pool itself is exhausted: page is exact
+            if k >= self.MAX_ESCALATED_K:
+                sugar().warning(
+                    "%d search: window needs >%d candidates, returning "
+                    "short page (%d unique < %d wanted)",
+                    txid, k, len(hits), want,
+                )
+                break
+            k *= 2
+            sugar().info(
+                "%d search: deep window (offset=%d), escalating to k=%d",
+                txid, offset, k,
+            )
+            _check_cancel(cancel)
+        return hits[offset : offset + count]
+
     def search(
         self,
         owner_name: str,
@@ -842,71 +921,9 @@ class Engine:
         query = codec.dequantize(np.asarray(wire, np.uint8)[None])
         _check_cancel(cancel)
 
-        # Over-fetch to survive per-document dedup (multiple sections per
-        # doc), in pow2 size classes shared with warmup (see _k_class).
-        want = count + offset
-        k = _k_class(want)
-        # refine=k: exact f32 re-rank of the whole over-fetched candidate
-        # set (removes query-quantization ordering noise at ~zero cost).
-        # Concurrent requests with the same (snapshot, k, nprobe) coalesce
-        # into ONE device dispatch (engine/batcher.py) — the TPU-native
-        # equivalent of the reference's per-request goroutine concurrency
-        # (server/search.go:45).
-        target = state.sharded if state.sharded is not None else ivf
-        # deep pagination: the probed candidate pool is bounded by
-        # nprobe*cap (+spill); if dedup exhausts the k candidates before
-        # the requested window fills AND the pool holds more, escalate to
-        # the next pow2 class and re-dispatch (the reference scans the
-        # whole probed set per request so any offset window is exact,
-        # server/search.go:241-273)
-        if hasattr(target, "cap"):
-            nprobe_eff = nprobe if nprobe > 0 else ivf.k_clusters
-            nprobe_eff = max(1, min(nprobe_eff, ivf.k_clusters))
-            pool = nprobe_eff * target.cap
-            if isinstance(target, IVFIndex):
-                pool += target.spill.live
-            pool = min(pool, ivf.n_live)
-        else:
-            pool = ivf.n_live
-        while True:
-            k_req = k
-            scores_row, ids_row = self._batcher.submit(
-                (id(target), k_req, nprobe),
-                target,
-                query[0],
-                lambda qb: target.search(qb, k=k_req, nprobe=nprobe, refine=k_req),
-            )
-            hits: list[tuple[int, float]] = []
-            seen: set[int] = set()
-            for emb_id, score in zip(ids_row, scores_row):
-                if emb_id < 0:
-                    continue
-                doc_id = state.doc_map.get(int(emb_id))
-                if doc_id is None or doc_id in seen:
-                    continue
-                seen.add(doc_id)
-                hits.append((doc_id, float(score)))
-                if len(hits) >= want:
-                    break
-            if len(hits) >= want:
-                break
-            n_valid = int((np.asarray(ids_row) >= 0).sum())
-            if n_valid < k or k >= pool:
-                break  # the probed pool itself is exhausted: page is exact
-            if k >= self.MAX_ESCALATED_K:
-                sugar().warning(
-                    "%d search: window needs >%d candidates, returning "
-                    "short page (%d unique < %d wanted)",
-                    txid, k, len(hits), want,
-                )
-                break
-            k *= 2
-            sugar().info(
-                "%d search: deep window (offset=%d), escalating to k=%d",
-                txid, offset, k,
-            )
-            _check_cancel(cancel)
-        hits = hits[offset : offset + count]
+        hits = self._window_hits(
+            state, query[0], count, offset, nprobe, cancel, txid
+        )
         if not hits:
             return []
         _check_cancel(cancel)
@@ -998,10 +1015,11 @@ class Engine:
         _check_cancel(cancel)
 
         # per-row dedup; rows whose window dedups short with candidates
-        # left in the probed pool fall back to the single path (which
-        # escalates the k class) — rare, and only for deep windows
-        pages: list[list[tuple[int, float]] | None] = []
-        fallback_rows: list[int] = []
+        # left in the probed pool fall back to the escalating window
+        # helper — reusing the embedded vector and resolved state, so a
+        # deep window never pays a second ai.embed round trip — rare,
+        # and only for deep windows
+        pages: list[list[tuple[int, float]]] = []
         for i in range(len(texts)):
             hits: list[tuple[int, float]] = []
             seen: set[int] = set()
@@ -1017,19 +1035,15 @@ class Engine:
                 if len(hits) >= want:
                     break
             if len(hits) < want and int((np.asarray(row_ids) >= 0).sum()) >= k:
-                pages.append(None)
-                fallback_rows.append(i)
+                _check_cancel(cancel)
+                pages.append(
+                    self._window_hits(
+                        state, queries[i], count, offset, nprobe, cancel,
+                        txid,
+                    )
+                )
             else:
                 pages.append(hits[offset : offset + count])
-
-        fallback_pages: dict[int, list[SearchHit]] = {}
-        for i in fallback_rows:
-            _check_cancel(cancel)
-            fallback_pages[i] = self.search(
-                owner_name, category_name, texts[i],
-                count=count, offset=offset, centroids=centroids,
-                cancel=cancel,
-            )
 
         docs = {}
         if include_documents:

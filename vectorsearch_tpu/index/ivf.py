@@ -175,11 +175,14 @@ def _slice_clusters(arr: jax.Array, start, step: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("nprobe", "k_coarse", "k", "use_pallas", "approx"),
+    static_argnames=(
+        "nprobe", "k_coarse", "k", "use_pallas", "approx", "qt_max",
+        "epilogue",
+    ),
 )
 def _scan_refined(
     queries, centroids_n, buckets, counts, bucket_mask, nprobe, k_coarse, k,
-    use_pallas, approx=True,
+    use_pallas, approx=True, qt_max=None, epilogue=None,
 ):
     """Coarse scan + exact-f32 refine fused into ONE jitted program: the
     bucket flat view is reshaped inside jit (views, not eager dispatches —
@@ -188,7 +191,11 @@ def _scan_refined(
 
     approx=False (VSTPU_EXACT_EPILOGUE=1 via IVFIndex.search) swaps the
     per-pair approx reduction for exact top-k — recovers the last ~0.3pt
-    to the corpus-quantization recall floor at some QPS cost."""
+    to the corpus-quantization recall floor at some QPS cost.
+
+    qt_max/epilogue are STATIC args resolved by the caller (outside jit):
+    this function is the outermost jit, so an env read inside the trace
+    would be baked into the cache entry and ignore later env changes."""
     if use_pallas:
         from ..kernels.pallas_scan import ivf_scan_pallas
 
@@ -197,6 +204,7 @@ def _scan_refined(
         scores, gslot = ivf_scan_pallas(
             queries, centroids_n, buckets, counts, bucket_mask,
             nprobe=nprobe, k=k_coarse, approx=approx,
+            qt_max=qt_max, epilogue=epilogue,
         )
     else:
         scores, gslot = _ivf_scan(
@@ -441,6 +449,16 @@ class IVFIndex:
         # floor (0.9672 at 1M) that the per-pair approx reduction trades
         # ~0.3pt of for QPS
         approx_epi = os.environ.get("VSTPU_EXACT_EPILOGUE") != "1"
+        # resolve the env-tunable kernel knobs HERE, outside the jitted
+        # _scan_refined, so they are part of its trace cache key — read
+        # inside, a post-first-search env change would silently hit the
+        # stale trace
+        if use_pallas:
+            from ..kernels.pallas_scan import _default_epilogue, _qt_max
+
+            qt_max, epilogue = _qt_max(), _default_epilogue()
+        else:
+            qt_max = epilogue = None
 
         def one(qs):
             if refine:
@@ -449,6 +467,7 @@ class IVFIndex:
                     qs, self.centroids_n, self.buckets, self.counts_dev,
                     self.bucket_mask, nprobe=nprobe, k_coarse=k_coarse, k=k,
                     use_pallas=use_pallas, approx=approx_epi,
+                    qt_max=qt_max, epilogue=epilogue,
                 )
             return _scan_impl()(
                 qs, self.centroids_n, self.buckets, self.counts_dev,

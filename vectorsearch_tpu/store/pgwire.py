@@ -152,6 +152,10 @@ class PgConnection:
             (self.dsn.host, self.dsn.port), timeout=timeout
         )
         self._buf = b""
+        # a socket error mid-message leaves partial bytes in _buf: the
+        # framing is desynchronized and every later read would parse
+        # payload bytes as headers — the connection must be thrown away
+        self.broken = False
         self.parameters: dict[str, str] = {}
         self._startup()
 
@@ -242,31 +246,60 @@ class PgConnection:
     # ---- queries ----
 
     def execute(self, sql: str, params: tuple = ()) -> QueryResult:
-        """Run ONE statement via the simple query protocol."""
-        self._send(b"Q", render(sql, tuple(params)).encode("utf-8") + b"\x00")
-        columns: list[str] = []
-        oids: list[int] = []
-        rows: list[tuple] = []
-        command = ""
-        error: PgError | None = None
-        while True:
-            t, body = self._recv_msg()
-            if t == b"T":  # RowDescription
-                columns, oids = _parse_row_description(body)
-            elif t == b"D":  # DataRow
-                rows.append(_parse_data_row(body, oids))
-            elif t == b"C":  # CommandComplete
-                command = body.rstrip(b"\x00").decode()
-            elif t == b"E":
-                error = PgError(_parse_error(body))
-            elif t == b"Z":  # ReadyForQuery — always wait for it
-                if error is not None:
-                    raise error
-                return QueryResult(columns=columns, rows=rows, command=command)
-            elif t in (b"N", b"S", b"I"):  # notice / param / EmptyQuery
-                continue
-            else:
-                raise PgError({"M": f"unexpected message {t!r} during query"})
+        """Run ONE statement via the simple query protocol.
+
+        A socket-level failure (timeout, reset, close) mid-exchange marks
+        the connection `broken` and raises ConnectionError: retained
+        partial bytes make every later read on this socket garbage, so
+        the caller (PgStore) must reconnect, never reuse."""
+        if self.broken:
+            raise ConnectionError(
+                "postgres connection is broken (earlier mid-message "
+                "failure); reconnect required"
+            )
+        try:
+            self._send(
+                b"Q", render(sql, tuple(params)).encode("utf-8") + b"\x00"
+            )
+            columns: list[str] = []
+            oids: list[int] = []
+            rows: list[tuple] = []
+            command = ""
+            error: PgError | None = None
+            while True:
+                t, body = self._recv_msg()
+                if t == b"T":  # RowDescription
+                    columns, oids = _parse_row_description(body)
+                elif t == b"D":  # DataRow
+                    rows.append(_parse_data_row(body, oids))
+                elif t == b"C":  # CommandComplete
+                    command = body.rstrip(b"\x00").decode()
+                elif t == b"E":
+                    error = PgError(_parse_error(body))
+                elif t == b"Z":  # ReadyForQuery — always wait for it
+                    if error is not None:
+                        raise error
+                    return QueryResult(
+                        columns=columns, rows=rows, command=command
+                    )
+                elif t in (b"N", b"S", b"I"):  # notice / param / EmptyQuery
+                    continue
+                else:
+                    # mid-stream protocol surprise: framing can no longer
+                    # be trusted either
+                    self.broken = True
+                    raise PgError(
+                        {"M": f"unexpected message {t!r} during query"}
+                    )
+        except OSError as e:  # includes socket.timeout / ConnectionError
+            self.broken = True
+            try:
+                self._sock.close()
+            except OSError:
+                pass
+            raise ConnectionError(
+                f"postgres connection desynchronized mid-query: {e}"
+            ) from e
 
     def close(self) -> None:
         try:
