@@ -119,7 +119,9 @@ def test_pallas_k_larger_than_valid():
 # --------------------------------------------------------- epilogue variants
 
 
-@pytest.mark.parametrize("epilogue", ["pair", "rowfirst", "flat", "flatwide"])
+@pytest.mark.parametrize(
+    "epilogue", ["pair", "rowfirst", "flat", "flatwide", "ileave"]
+)
 @pytest.mark.parametrize("nprobe", [1, 3, 8])
 def test_epilogue_variants_match_xla(epilogue, nprobe):
     """Every epilogue must agree with the XLA reference path when exact
@@ -158,6 +160,52 @@ def test_rowfirst_identical_to_pair(epilogue):
     np.testing.assert_array_equal(
         np.asarray(outs["pair"][1]), np.asarray(outs["rowfirst"][1])
     )
+
+
+@pytest.mark.parametrize("nprobe", [16, 64, 96])
+def test_ileave_exact_matches_xla_high_nprobe(nprobe):
+    """The interleaved layout permutes the flat axis but the exact top-k
+    candidate SET is layout-invariant: ileave/exact must match the XLA
+    reference at the nprobe shapes where probe-major flat/approx was
+    measured dropping winners (the 10M bin collision)."""
+    ivf, v = make_ivf(n_per=40, k=96, d=128)
+    q = jnp.asarray(v[:17] + 0.01, jnp.float32)
+    s_ref, i_ref = _ivf_scan(
+        q, ivf.centroids_n, ivf.buckets, ivf.counts_dev, ivf.bucket_mask,
+        nprobe=nprobe, k=10,
+    )
+    s_pal, i_pal = ivf_scan_pallas(
+        q, ivf.centroids_n, ivf.buckets, ivf.counts_dev, ivf.bucket_mask,
+        nprobe=nprobe, k=10, interpret=True, epilogue="ileave",
+        approx=False,
+    )
+    np.testing.assert_allclose(np.asarray(s_pal), np.asarray(s_ref), atol=1e-3)
+    assert np.array_equal(np.asarray(i_pal), np.asarray(i_ref))
+
+
+def test_ileave_approx_valid_slots():
+    """ileave/approx decodes (cluster, slot) from the interleaved flat
+    position: every returned global slot must name a LIVE row and scores
+    must match a recompute from the returned coordinates."""
+    ivf, v = make_ivf(n_per=40, k=12)
+    q = jnp.asarray(v[:9] + 0.01, jnp.float32)
+    s, gslot = ivf_scan_pallas(
+        q, ivf.centroids_n, ivf.buckets, ivf.counts_dev, ivf.bucket_mask,
+        nprobe=6, k=8, interpret=True, epilogue="ileave", approx=True,
+    )
+    s, gslot = np.asarray(s), np.asarray(gslot)
+    finite = np.isfinite(s)
+    assert finite.any()
+    cap = ivf.cap
+    cid, slot = gslot[finite] // cap, gslot[finite] % cap
+    assert (ivf.mask_host[cid, slot]).all()  # live rows only
+    # the top-1 must agree with the exact scan (approx binning cannot
+    # lose the global maximum: it survives its bin's max)
+    _, i_ref = _ivf_scan(
+        q, ivf.centroids_n, ivf.buckets, ivf.counts_dev, ivf.bucket_mask,
+        nprobe=6, k=1,
+    )
+    assert np.array_equal(gslot[:, :1], np.asarray(i_ref))
 
 
 def test_exact_epilogue_env(monkeypatch):

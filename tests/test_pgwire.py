@@ -419,3 +419,42 @@ def test_pgstore_txn_drop_heals_for_next_caller():
     finally:
         p1.close()
         p2.close()
+
+
+def test_pgstore_boot_fails_over_when_primary_down():
+    """A primary that is down AT BOOT must not kill the server when a
+    failover write DSN is reachable (same walk as runtime healing)."""
+    p1, p2 = MockPg(), MockPg()
+    p1.close()  # never reachable
+    p2.on(
+        r"SELECT id, name FROM owners", ([("id", INT8), ("name", TEXT)],
+                                         [(4, "o")], "SELECT 1")
+    )
+    try:
+        store = PgStore([p1.dsn, p2.dsn])
+        assert store._widx == 1
+        assert store.get_owner("o").id == 4
+        assert any("CREATE TABLE" in q for q in p2.queries)  # migration too
+        store.close()
+    finally:
+        p2.close()
+
+
+def test_pgstore_boot_tolerates_dead_replica():
+    """A read replica that is down at boot degrades to a warning; its
+    first read reconnects (or falls back to the primary)."""
+    primary = MockPg()
+    primary.on(
+        r"SELECT id, name FROM owners", ([("id", INT8), ("name", TEXT)],
+                                         [(6, "o")], "SELECT 1")
+    )
+    dead = MockPg()
+    dead_dsn = dead.dsn
+    dead.close()
+    try:
+        store = PgStore([primary.dsn], [dead_dsn])
+        assert store._reads == [None]
+        assert store.get_owner("o").id == 6  # served by the primary
+        store.close()
+    finally:
+        primary.close()

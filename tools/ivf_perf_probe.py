@@ -170,6 +170,8 @@ def phases_mode(ivf, queries, truth, ids, flat_ids):
         ("full flat/approx", dict(epilogue="flat", approx=True)),
         ("full flat/exact", dict(epilogue="flat", approx=False)),
         ("full flatwide/approx", dict(epilogue="flatwide", approx=True)),
+        ("full ileave/approx", dict(epilogue="ileave", approx=True)),
+        ("full ileave/exact", dict(epilogue="ileave", approx=False)),
     ]:
         try:
             fn = lambda q, kw=kwargs: ivf_scan_pallas(
@@ -190,6 +192,40 @@ def phases_mode(ivf, queries, truth, ids, flat_ids):
                 f"full pair/approx qt_max={qt_ovr}", fn)
         except Exception as e:
             log("phases: qt=%d FAILED: %s", qt_ovr, str(e)[:200])
+    # the winning epilogue (flat) with halved codes traffic, and
+    # flat/approx at tighter approx_max_k recall targets (more bins ->
+    # fewer mod-L collisions) — can approx reach the exact floor?
+    for label, kwargs in [
+        ("flat/exact qt_max=64",
+         dict(epilogue="flat", approx=False, qt_max=64)),
+        ("flat/approx qt_max=64",
+         dict(epilogue="flat", approx=True, qt_max=64)),
+        ("flat/approx rt=0.99",
+         dict(epilogue="flat", approx=True, approx_recall=0.99)),
+        ("flat/approx rt=0.999",
+         dict(epilogue="flat", approx=True, approx_recall=0.999)),
+        ("flat/approx rt=0.999 qt64",
+         dict(epilogue="flat", approx=True, approx_recall=0.999,
+              qt_max=64)),
+        ("flat/approx wide=4",
+         dict(epilogue="flat", approx=True, approx_wide=4)),
+        ("flat/approx wide=8",
+         dict(epilogue="flat", approx=True, approx_wide=8)),
+        ("flat/approx wide=4 rt=0.99",
+         dict(epilogue="flat", approx=True, approx_wide=4,
+              approx_recall=0.99)),
+        ("flat/approx wide=4 rt=0.99 qt64",
+         dict(epilogue="flat", approx=True, approx_wide=4,
+              approx_recall=0.99, qt_max=64)),
+    ]:
+        try:
+            fn = lambda q, kw=kwargs: ivf_scan_pallas(
+                q, ivf.centroids_n, ivf.buckets, ivf.counts_dev,
+                ivf.bucket_mask, nprobe=nprobe, k=kc, **kw,
+            )
+            results[label] = timeit("full " + label, fn)
+        except Exception as e:
+            log("phases: %s FAILED: %s", label, str(e)[:200])
 
     if "groups+kernel" in results and "groups-only" in results:
         kern = results["groups+kernel"] - results["groups-only"]
@@ -206,6 +242,19 @@ def phases_mode(ivf, queries, truth, ids, flat_ids):
         ("flat/approx", dict(epilogue="flat", approx=True)),
         ("flat/exact", dict(epilogue="flat", approx=False)),
         ("flatwide/approx", dict(epilogue="flatwide", approx=True)),
+        ("ileave/approx", dict(epilogue="ileave", approx=True)),
+        ("ileave/exact", dict(epilogue="ileave", approx=False)),
+        ("flat/approx rt=0.99",
+         dict(epilogue="flat", approx=True, approx_recall=0.99)),
+        ("flat/approx rt=0.999",
+         dict(epilogue="flat", approx=True, approx_recall=0.999)),
+        ("flat/approx wide=4",
+         dict(epilogue="flat", approx=True, approx_wide=4)),
+        ("flat/approx wide=8",
+         dict(epilogue="flat", approx=True, approx_wide=8)),
+        ("flat/approx wide=4 rt=0.99",
+         dict(epilogue="flat", approx=True, approx_wide=4,
+              approx_recall=0.99)),
     ]:
         try:
             _, gslot = ivf_scan_pallas(

@@ -94,8 +94,8 @@ def _device_hbm_budget() -> int | None:
         # stats; fall back to known per-generation HBM sizes — guessing
         # LOW only wastes insert headroom, guessing high OOMs at boot
         kind = (dev.device_kind or "").lower()
-        hbm = 16 * 2**30  # v5e / v6e-class default
-        if "v4" in kind:
+        hbm = 16 * 2**30  # v5e-class default
+        if "v4" in kind or "v6" in kind:  # v6e (Trillium) ships 32 GB
             hbm = 32 * 2**30
         elif "v5p" in kind:
             hbm = 95 * 2**30
@@ -809,6 +809,7 @@ class Engine:
         nprobe: int,
         cancel: threading.Event | None,
         txid: int,
+        min_k: int = 0,
     ) -> list[tuple[int, float]]:
         """Dedup window over an ALREADY-EMBEDDED query: dispatch at the
         pow2 k class, per-document dedup, escalate the class and
@@ -816,12 +817,15 @@ class Engine:
         more (exact pagination at any offset — the reference scans the
         whole probed set per request, server/search.go:241-273). Shared
         by search() and search_many()'s deep-window fallback so the
-        fallback never re-embeds or re-resolves owner/category."""
+        fallback never re-embeds or re-resolves owner/category; the
+        fallback passes min_k = one class above what it already
+        dispatched, so the first helper iteration is not a repeat of a
+        dispatch whose results are already in hand."""
         ivf = state.ivf
         # Over-fetch to survive per-document dedup (multiple sections per
         # doc), in pow2 size classes shared with warmup (see _k_class).
         want = count + offset
-        k = _k_class(want)
+        k = max(_k_class(want), min_k)
         # refine=k: exact f32 re-rank of the whole over-fetched candidate
         # set (removes query-quantization ordering noise at ~zero cost).
         # Concurrent requests with the same (snapshot, k, nprobe) coalesce
@@ -1039,7 +1043,7 @@ class Engine:
                 pages.append(
                     self._window_hits(
                         state, queries[i], count, offset, nprobe, cancel,
-                        txid,
+                        txid, min_k=2 * k,
                     )
                 )
             else:
@@ -1048,10 +1052,7 @@ class Engine:
         docs = {}
         if include_documents:
             uniq = sorted({
-                doc_id
-                for page in pages
-                if page is not None
-                for doc_id, _ in page
+                doc_id for page in pages for doc_id, _ in page
             })
             # chunk the IN(...) list to stay clear of SQLite's bound-
             # variable limit (999 in older builds)
@@ -1062,15 +1063,6 @@ class Engine:
 
         out: list[list[SearchHit]] = []
         for i, page in enumerate(pages):
-            if page is None:
-                hits = fallback_pages[i]
-                if not include_documents:
-                    hits = [
-                        SearchHit(h.document_id, h.similarity, "", "", None)
-                        for h in hits
-                    ]
-                out.append(hits)
-                continue
             row_out = []
             for doc_id, score in page:
                 if include_documents:

@@ -177,12 +177,12 @@ def _slice_clusters(arr: jax.Array, start, step: int):
     jax.jit,
     static_argnames=(
         "nprobe", "k_coarse", "k", "use_pallas", "approx", "qt_max",
-        "epilogue",
+        "epilogue", "approx_wide",
     ),
 )
 def _scan_refined(
     queries, centroids_n, buckets, counts, bucket_mask, nprobe, k_coarse, k,
-    use_pallas, approx=True, qt_max=None, epilogue=None,
+    use_pallas, approx=True, qt_max=None, epilogue=None, approx_wide=None,
 ):
     """Coarse scan + exact-f32 refine fused into ONE jitted program: the
     bucket flat view is reshaped inside jit (views, not eager dispatches —
@@ -193,7 +193,8 @@ def _scan_refined(
     per-pair approx reduction for exact top-k — recovers the last ~0.3pt
     to the corpus-quantization recall floor at some QPS cost.
 
-    qt_max/epilogue are STATIC args resolved by the caller (outside jit):
+    qt_max/epilogue/approx_wide are STATIC args resolved by the caller
+    (outside jit):
     this function is the outermost jit, so an env read inside the trace
     would be baked into the cache entry and ignore later env changes."""
     if use_pallas:
@@ -204,7 +205,7 @@ def _scan_refined(
         scores, gslot = ivf_scan_pallas(
             queries, centroids_n, buckets, counts, bucket_mask,
             nprobe=nprobe, k=k_coarse, approx=approx,
-            qt_max=qt_max, epilogue=epilogue,
+            qt_max=qt_max, epilogue=epilogue, approx_wide=approx_wide,
         )
     else:
         scores, gslot = _ivf_scan(
@@ -454,11 +455,16 @@ class IVFIndex:
         # inside, a post-first-search env change would silently hit the
         # stale trace
         if use_pallas:
-            from ..kernels.pallas_scan import _default_epilogue, _qt_max
+            from ..kernels.pallas_scan import (
+                _approx_wide,
+                _default_epilogue,
+                _qt_max,
+            )
 
             qt_max, epilogue = _qt_max(), _default_epilogue()
+            approx_wide = _approx_wide()
         else:
-            qt_max = epilogue = None
+            qt_max = epilogue = approx_wide = None
 
         def one(qs):
             if refine:
@@ -467,7 +473,7 @@ class IVFIndex:
                     qs, self.centroids_n, self.buckets, self.counts_dev,
                     self.bucket_mask, nprobe=nprobe, k_coarse=k_coarse, k=k,
                     use_pallas=use_pallas, approx=approx_epi,
-                    qt_max=qt_max, epilogue=epilogue,
+                    qt_max=qt_max, epilogue=epilogue, approx_wide=approx_wide,
                 )
             return _scan_impl()(
                 qs, self.centroids_n, self.buckets, self.counts_dev,
@@ -648,16 +654,22 @@ class IVFIndex:
         wanted = np.asarray(wanted, np.int64)
         hit = np.isin(self.ids, wanted) & self.mask_host
         cid, slot = np.nonzero(hit)
+        m = len(cid)
         # gather ON DEVICE, transfer only the [m, D] result — a host-side
         # fancy index would first device_get the whole bucket store (15+ GB
-        # at 10M scale, which the remote tunnel cannot move in one call)
-        dcid = jnp.asarray(cid, jnp.int32)
-        dslot = jnp.asarray(slot, jnp.int32)
+        # at 10M scale, which the remote tunnel cannot move in one call).
+        # Coordinates are padded to the pow2 coord class (same as
+        # remove_ids): m differs on nearly every rebuild reconciliation,
+        # and an unpadded gather would compile 4 fresh tunnel programs
+        # (30-120 s each) per novel m while refresh holds state.lock.
+        m_pad = _coord_class(m)
+        dcid = jnp.asarray(np.pad(cid, (0, m_pad - m)), jnp.int32)
+        dslot = jnp.asarray(np.pad(slot, (0, m_pad - m)), jnp.int32)
         packed = PackedVectors(
-            codes=np.asarray(self.buckets.codes[dcid, dslot]),
-            scale=np.asarray(self.buckets.scale[dcid, dslot]),
-            offset=np.asarray(self.buckets.offset[dcid, dslot]),
-            inv_norm=np.asarray(self.buckets.inv_norm[dcid, dslot]),
+            codes=np.asarray(self.buckets.codes[dcid, dslot])[:m],
+            scale=np.asarray(self.buckets.scale[dcid, dslot])[:m],
+            offset=np.asarray(self.buckets.offset[dcid, dslot])[:m],
+            inv_norm=np.asarray(self.buckets.inv_norm[dcid, dslot])[:m],
         )
         ids = self.ids[cid, slot]
         if self.spill.live > 0:

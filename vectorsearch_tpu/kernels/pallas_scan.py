@@ -63,11 +63,24 @@ def _qt_max() -> int:
 
 def _default_epilogue() -> str:
     """Top-k epilogue variant (see _grouped_scan): "auto" | "pair" |
-    "rowfirst" | "flat" | "flatwide", VSTPU_EPILOGUE overrides. Resolved
-    OUTSIDE jit so the choice is part of the trace cache key."""
+    "rowfirst" | "flat" | "flatwide" | "ileave", VSTPU_EPILOGUE
+    overrides. Resolved OUTSIDE jit so the choice is part of the trace
+    cache key."""
     import os
 
     return os.environ.get("VSTPU_EPILOGUE", "auto")
+
+
+def _approx_wide() -> int:
+    """Widening factor for the flat approx epilogue (VSTPU_APPROX_WIDE):
+    approx_max_k fetches wide*k candidates — more bins, so fewer mod-L
+    winner collisions — and one exact top-k reduces that union. Resolved
+    OUTSIDE jit so the choice is part of the trace cache key. Measured
+    (1M x 768, B=512, nprobe=64, v5e): wide=4 29.4k QPS @ 0.9658 coarse
+    vs flat/exact 19.9k @ 0.9664 and plain flat/approx 33.1k @ 0.9453."""
+    import os
+
+    return int(os.environ.get("VSTPU_APPROX_WIDE", 1))
 
 
 def _next_pow2(x: int) -> int:
@@ -113,22 +126,27 @@ def ivf_scan_pallas(
     approx: bool = False,
     qt_max: int | None = None,
     epilogue: str | None = None,
+    approx_recall: float = 0.98,
+    approx_wide: int | None = None,
     debug_phase: str = "full",
 ):
     """Drop-in replacement for index.ivf._ivf_scan (same signature/returns).
 
-    The env defaults for qt_max/epilogue resolve HERE, outside jit, so the
-    resolved values are the cache key — an env change between calls would
-    otherwise hit the stale trace for the None defaults and be silently
-    ignored."""
+    The env defaults for qt_max/epilogue/approx_wide resolve HERE, outside
+    jit, so the resolved values are the cache key — an env change between
+    calls would otherwise hit the stale trace for the None defaults and be
+    silently ignored."""
     if qt_max is None:
         qt_max = _qt_max()
     if epilogue is None:
         epilogue = _default_epilogue()
+    if approx_wide is None:
+        approx_wide = _approx_wide()
     return _ivf_scan_pallas(
         queries, centroids_n, buckets, counts, bucket_mask,
         nprobe=nprobe, k=k, interpret=interpret, approx=approx,
-        qt_max=qt_max, epilogue=epilogue, debug_phase=debug_phase,
+        qt_max=qt_max, epilogue=epilogue, approx_recall=approx_recall,
+        approx_wide=approx_wide, debug_phase=debug_phase,
     )
 
 
@@ -169,7 +187,7 @@ def ivf_scan_pallas_probed(
     jax.jit,
     static_argnames=(
         "nprobe", "k", "interpret", "approx", "qt_max", "epilogue",
-        "debug_phase",
+        "approx_recall", "approx_wide", "debug_phase",
     ),
 )
 def _ivf_scan_pallas(
@@ -184,6 +202,8 @@ def _ivf_scan_pallas(
     approx: bool = False,
     qt_max: int = 32,
     epilogue: str = "pair",
+    approx_recall: float = 0.98,
+    approx_wide: int = 1,
     debug_phase: str = "full",
 ):
     kk = buckets.codes.shape[0]
@@ -199,6 +219,7 @@ def _ivf_scan_pallas(
     return _grouped_scan(
         qn, qsum, buckets, counts, bucket_mask, probed, None, k,
         interpret=interpret, approx=approx, qt_max=qt_max, epilogue=epilogue,
+        approx_recall=approx_recall, approx_wide=approx_wide,
         debug_phase=debug_phase,
     )
 
@@ -216,6 +237,8 @@ def _grouped_scan(
     approx: bool,
     qt_max: int,
     epilogue: str = "pair",
+    approx_recall: float = 0.98,
+    approx_wide: int = 1,
     debug_phase: str = "full",
 ):
     """debug_phase (perf instrumentation, tools/ivf_perf_probe.py only):
@@ -359,7 +382,7 @@ def _grouped_scan(
     if epilogue == "rowfirst":
         rows = out.reshape(g_max * qt, cap)
         if use_approx:
-            rs, ri = jax.lax.approx_max_k(rows, kc, recall_target=0.98)
+            rs, ri = jax.lax.approx_max_k(rows, kc, recall_target=approx_recall)
         else:
             rs, ri = jax.lax.top_k(rows, kc)
         ps = mask_invalid(rs[pair_slot])  # [P, kc]
@@ -368,13 +391,59 @@ def _grouped_scan(
         pair_scores = mask_invalid(out.reshape(g_max * qt, cap)[pair_slot])
         flat = pair_scores.reshape(b, nprobe * cap)
         if approx and k_eff * 8 <= nprobe * cap:
-            best, pos = jax.lax.approx_max_k(
-                flat, k_eff, recall_target=0.98
-            )
+            if approx_wide > 1:
+                # WIDENED approx: ask approx_max_k for approx_wide*k_eff
+                # candidates (more bins -> fewer mod-L winner collisions)
+                # and exact-reduce that small union to k_eff. "flatwide"
+                # is this idea overshot to nprobe*kc outputs (measured
+                # 193 ms at nprobe=64); a moderate 4-8x widening buys
+                # bins at near-flat/approx cost.
+                wide = min(k_eff * approx_wide, nprobe * cap)
+                ws, wi = jax.lax.approx_max_k(
+                    flat, wide, recall_target=approx_recall
+                )
+                best, sel = jax.lax.top_k(ws, k_eff)
+                pos = jnp.take_along_axis(wi, sel, axis=-1)
+            else:
+                best, pos = jax.lax.approx_max_k(
+                    flat, k_eff, recall_target=approx_recall
+                )
         else:
             best, pos = jax.lax.top_k(flat, k_eff)
         cluster = jnp.take_along_axis(probed, pos // cap, axis=-1)
         gslot = cluster * cap + pos % cap
+        return _pad_k(best, gslot, k, k_eff)
+    elif epilogue == "ileave":
+        # MEASURED NEGATIVE — kept as a documented experiment, never
+        # chosen by "auto". Cluster-interleaved flat layout: element
+        # (q, c*nprobe + j) is the score of probe j, bucket slot c. The
+        # hypothesis was that interleaving would de-correlate the
+        # same-cluster winners that "flat"+approx drops. It does the
+        # OPPOSITE (1M x 768, B=512, nprobe=64 on v5e: recall 0.6213
+        # coarse vs flat/approx 0.9453, flat/exact 0.9664): TPU
+        # approx_max_k bins by position MODULO the pow2 bin count L, so
+        # the stride-nprobe layout aliases — same-probe elements sit at
+        # stride nprobe, nprobe | L, and winners collide whenever their
+        # slots differ by a multiple of L/nprobe (16-32 slots) instead
+        # of L (2048+). Probe-major "flat" is already the better layout
+        # for mod-L binning. With approx=False the candidate set is
+        # layout-invariant and identical to flat/exact (pinned by
+        # tests/test_pallas.py) at ~equal cost.
+        pair_scores = mask_invalid(out.reshape(g_max * qt, cap)[pair_slot])
+        flat = (
+            pair_scores.reshape(b, nprobe, cap)
+            .transpose(0, 2, 1)
+            .reshape(b, cap * nprobe)
+        )
+        if approx and k_eff * 8 <= nprobe * cap:
+            best, pos = jax.lax.approx_max_k(
+                flat, k_eff, recall_target=approx_recall
+            )
+        else:
+            best, pos = jax.lax.top_k(flat, k_eff)
+        # interleaved flat position = slot * nprobe + probe_j
+        cluster = jnp.take_along_axis(probed, pos % nprobe, axis=-1)
+        gslot = cluster * cap + pos // nprobe
         return _pad_k(best, gslot, k, k_eff)
     elif epilogue == "flatwide":
         # flat approx with a WIDENED output (nprobe*kc candidates), then
@@ -387,7 +456,7 @@ def _grouped_scan(
         flat = pair_scores.reshape(b, nprobe * cap)
         wide = min(nprobe * kc, nprobe * cap)
         if approx and wide * 8 <= nprobe * cap:
-            ws, wi = jax.lax.approx_max_k(flat, wide, recall_target=0.98)
+            ws, wi = jax.lax.approx_max_k(flat, wide, recall_target=approx_recall)
         else:
             ws, wi = jax.lax.top_k(flat, wide)
         best, pos = jax.lax.top_k(ws, k_eff)
@@ -398,7 +467,7 @@ def _grouped_scan(
     else:  # "pair"
         pair_scores = mask_invalid(out.reshape(g_max * qt, cap)[pair_slot])
         if use_approx:
-            ps, pi = jax.lax.approx_max_k(pair_scores, kc, recall_target=0.98)
+            ps, pi = jax.lax.approx_max_k(pair_scores, kc, recall_target=approx_recall)
         else:
             ps, pi = jax.lax.top_k(pair_scores, kc)
     scores = ps.reshape(b, nprobe * kc)

@@ -146,7 +146,19 @@ class QueryResult:
 class PgConnection:
     """One authenticated connection; execute() runs one simple query."""
 
-    def __init__(self, dsn: str | Dsn, timeout: float = 30.0):
+    def __init__(
+        self,
+        dsn: str | Dsn,
+        timeout: float = 30.0,
+        statement_timeout: float | None = 600.0,
+    ):
+        """`timeout` bounds connect + auth; `statement_timeout` bounds how
+        long ONE statement may run before the socket read gives up. They
+        are separate because a statement timeout is NOT a clean failure:
+        the query may still commit server-side, so the connection is
+        discarded as broken — 30 s would turn every big CASCADE delete or
+        cold 10M-row aggregate into a spurious 'connection failure'
+        (None = wait forever)."""
         self.dsn = Dsn.parse(dsn) if isinstance(dsn, str) else dsn
         self._sock = socket.create_connection(
             (self.dsn.host, self.dsn.port), timeout=timeout
@@ -158,6 +170,7 @@ class PgConnection:
         self.broken = False
         self.parameters: dict[str, str] = {}
         self._startup()
+        self._sock.settimeout(statement_timeout)
 
     # ---- framing ----
 
