@@ -208,6 +208,28 @@ def test_ileave_approx_valid_slots():
     assert np.array_equal(gslot[:, :1], np.asarray(i_ref))
 
 
+@pytest.mark.parametrize("wide", [1, 4])
+def test_approx_wide_env_and_param(monkeypatch, wide):
+    """VSTPU_APPROX_WIDE widens the flat approx epilogue (approx_wide*k
+    approx candidates, exact-reduced); the top-1 and score decode must
+    stay consistent with the exact scan."""
+    ivf, v = make_ivf(n_per=40, k=12)
+    q = jnp.asarray(v[:5] + 0.01, jnp.float32)
+    monkeypatch.setenv("VSTPU_APPROX_WIDE", str(wide))
+    s, gslot = ivf_scan_pallas(
+        q, ivf.centroids_n, ivf.buckets, ivf.counts_dev, ivf.bucket_mask,
+        nprobe=6, k=8, interpret=True, epilogue="flat", approx=True,
+    )
+    s_ref, i_ref = _ivf_scan(
+        q, ivf.centroids_n, ivf.buckets, ivf.counts_dev, ivf.bucket_mask,
+        nprobe=6, k=1,
+    )
+    assert np.array_equal(np.asarray(gslot)[:, :1], np.asarray(i_ref))
+    np.testing.assert_allclose(
+        np.asarray(s)[:, :1], np.asarray(s_ref), atol=2e-3
+    )
+
+
 def test_exact_epilogue_env(monkeypatch):
     """VSTPU_EXACT_EPILOGUE=1 routes the refined search through exact
     per-pair reductions (the recall-floor config)."""
