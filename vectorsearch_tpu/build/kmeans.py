@@ -25,6 +25,7 @@ survivors, which are then recentered.
 """
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 
 import jax
@@ -187,8 +188,14 @@ def _assign_and_accumulate(
     return sums, counts, cids
 
 
+@functools.lru_cache(maxsize=8)
 def _make_lloyd_loop(mesh: Mesh | None, axis: str = "data"):
     """The WHOLE Lloyd's loop as one jitted program (lax.while_loop).
+
+    Memoized on (mesh, axis): build_centroids calls lloyd() 4-6 times per
+    build (main, recenter, balance) with identical tile/K-pad shapes — a
+    fresh jit wrapper per call would re-trace each time and depend on the
+    persistent compile cache to dodge a 30-120 s tunnel compile.
 
     Convergence is checked on device, so the host syncs once at the end
     instead of once per iteration. Through the remote-TPU tunnel every

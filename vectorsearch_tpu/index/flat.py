@@ -169,13 +169,18 @@ class FlatIndex:
         assert ids.shape == (m,)
         packed, mask = self.packed, self.mask
         cap = self.capacity
-        if self.n + m > cap:
-            new_cap = round_capacity(self.n + m)
-            packed, mask = _grow(packed, mask, new_cap)
-            cap = new_cap
         # Pad the update block to a small set of static sizes so appends of
         # varying batch sizes reuse one compiled program per size class.
-        m_pad = min(round_capacity(m), cap - self.n)
+        # Grow whenever the PADDED block would not fit: clamping m_pad to
+        # the remaining room instead (old behaviour) minted a novel
+        # _write_block shape — one 30-120 s tunnel compile — per append
+        # for every append landing in the last round_capacity(m) rows
+        # before a growth.
+        m_pad = round_capacity(m)
+        if self.n + m_pad > cap:
+            new_cap = round_capacity(self.n + m_pad)
+            packed, mask = _grow(packed, mask, new_cap)
+            cap = new_cap
         upd = PackedVectors(
             codes=jnp.asarray(
                 np.pad(np.asarray(new.codes, np.int8), ((0, m_pad - m), (0, 0)))

@@ -435,16 +435,6 @@ class IVFIndex:
         nprobe = max(1, min(nprobe, self.k_clusters))
         k_coarse = max(k, refine) if refine else k
         use_pallas = _scan_impl() is not _ivf_scan
-        if use_pallas:
-            # grouped kernel: transient footprint is the [P + K*QT, cap]
-            # f32 score grid plus the [P, cap] pair gather — bound it
-            bytes_per_q = nprobe * self.cap * 4 * 2
-            b_max = max(1, (2 << 30) // max(1, bytes_per_q))
-        else:
-            # XLA path materializes the [B*nprobe, cap, D] bucket gather
-            # (int8) PLUS its bf16 cast for the dot — 3x dim per row
-            bytes_per_q = nprobe * self.cap * (3 * self.dim + 16)
-            b_max = max(1, (2 << 30) // max(1, bytes_per_q))
 
         # exact epilogue config: recovers the corpus-quantization recall
         # floor (0.9672 at 1M) that the per-pair approx reduction trades
@@ -458,6 +448,7 @@ class IVFIndex:
             from ..kernels.pallas_scan import (
                 _approx_wide,
                 _default_epilogue,
+                _next_pow2,
                 _qt_max,
             )
 
@@ -465,6 +456,30 @@ class IVFIndex:
             approx_wide = _approx_wide()
         else:
             qt_max = epilogue = approx_wide = None
+
+        budget = 2 << 30  # transient scratch bound per dispatch
+        if use_pallas:
+            # grouped kernel: the [G*QT, cap] f32 score grid (G*QT <=
+            # P + K*QT rows — the K*QT group-padding term is CONSTANT in
+            # B and dominates at high nprobe/large K) plus the [P, cap]
+            # pair gather. Halve the batch until the model fits: a
+            # per-query divisor alone ignored the constant term and let
+            # a 10M-scale nprobe=64 batch build a ~3 GB grid unsplit.
+            def _transient(b):
+                p = b * nprobe
+                qt = max(8, min(
+                    qt_max, _next_pow2(-(-2 * p // self.k_clusters))
+                ))
+                return (2 * p + self.k_clusters * qt) * self.cap * 4
+
+            b_max = max(1, int(queries.shape[0]))
+            while b_max > 1 and _transient(b_max) > budget:
+                b_max = (b_max + 1) // 2
+        else:
+            # XLA path materializes the [B*nprobe, cap, D] bucket gather
+            # (int8) PLUS its bf16 cast for the dot — 3x dim per row
+            bytes_per_q = nprobe * self.cap * (3 * self.dim + 16)
+            b_max = max(1, budget // max(1, bytes_per_q))
 
         def one(qs):
             if refine:
@@ -820,13 +835,19 @@ class IVFIndex:
 def assign_clusters(
     packed: PackedVectors, centroids: np.ndarray, chunk: int = 65_536
 ) -> np.ndarray:
-    """Nearest-centroid assignment for a host corpus, chunked on device."""
+    """Nearest-centroid assignment for a host corpus, chunked on device.
+
+    Chunk results stay on device until ONE device_get at the end: a
+    per-chunk np.asarray would be one synchronous tunnel round trip per
+    65k rows (CLAUDE.md: late-session syncs degrade to ~500 s each)."""
     cents = cosine.l2_normalize(jnp.asarray(centroids, jnp.float32))
     n = np.shape(packed.codes)[0]
-    out = np.empty(n, np.int32)
+    parts = []
     for start in range(0, n, chunk):
         end = min(start + chunk, n)
         sub = PackedVectors(*[jnp.asarray(np.asarray(a)[start:end]) for a in packed])
         _, cid = cosine.nearest_centroid(sub, cents)
-        out[start:end] = np.asarray(cid)
-    return out
+        parts.append(cid)
+    if not parts:
+        return np.empty(0, np.int32)
+    return np.concatenate([np.asarray(p) for p in jax.device_get(parts)])

@@ -246,11 +246,16 @@ def rescore_topk(
     scale_g = jnp.take(corpus.scale, safe)  # [B, m]
     offset_g = jnp.take(corpus.offset, safe)
     inv_g = jnp.take(corpus.inv_norm, safe)
+    # precision=HIGHEST: this env defaults matmuls to bf16-class even for
+    # f32 operands (CLAUDE.md), which would round the query inside the dot
+    # and defeat the exact-f32 re-rank this function exists for; m << the
+    # corpus, so the f32 passes are ~free
     dots = jnp.einsum(
         "bmd,bd->bm",
         codes_g.astype(jnp.float32),
         qn,
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     qsum = jnp.sum(qn, axis=-1, keepdims=True)
     exact = (offset_g * qsum + scale_g * dots) * inv_g

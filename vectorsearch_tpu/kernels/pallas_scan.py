@@ -162,6 +162,7 @@ def ivf_scan_pallas_probed(
     approx: bool = False,
     qt_max: int | None = None,
     epilogue: str | None = None,
+    approx_wide: int | None = None,
 ):
     """Grouped scan over an EXPLICIT probe list — the Pallas counterpart
     of index.ivf._scan_probed (same signature/returns). This is what the
@@ -175,11 +176,14 @@ def ivf_scan_pallas_probed(
         qt_max = _qt_max()
     if epilogue is None:
         epilogue = _default_epilogue()
+    if approx_wide is None:
+        approx_wide = _approx_wide()
     qn = cosine.l2_normalize(queries.astype(jnp.float32))
     qsum = jnp.sum(qn, axis=-1)
     return _grouped_scan(
         qn, qsum, buckets, counts, bucket_mask, probed, probe_valid, k,
         interpret=interpret, approx=approx, qt_max=qt_max, epilogue=epilogue,
+        approx_wide=approx_wide,
     )
 
 

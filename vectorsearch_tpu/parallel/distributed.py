@@ -34,7 +34,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding
 
-from .mesh import DATA_AXIS
+from .mesh import default_mesh
 
 _initialized = False
 
@@ -64,11 +64,12 @@ def maybe_initialize(
 
 
 def global_mesh(n_devices: int | None = None) -> Mesh:
-    """1-D data mesh over the GLOBAL device list (all hosts)."""
-    devs = jax.devices()
-    if n_devices is not None:
-        devs = devs[:n_devices]
-    return Mesh(np.asarray(devs), (DATA_AXIS,))
+    """1-D data mesh over the GLOBAL device list (all hosts).
+
+    After jax.distributed.initialize, jax.devices() IS the global list,
+    so this is mesh.default_mesh — kept as a named alias (one definition;
+    duplicated construction drifted once already)."""
+    return default_mesh(n_devices)
 
 
 def put_sharded(array: np.ndarray, sharding: NamedSharding) -> jax.Array:

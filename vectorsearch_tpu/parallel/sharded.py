@@ -97,6 +97,8 @@ def _ivf_scan_factory(
     mesh: Mesh, k: int, nprobe: int, k_per: int, cap: int,
     k_clusters: int, refine: int = 0,
     use_pallas: bool = False, interpret: bool = False,
+    qt_max: int | None = None, epilogue: str | None = None,
+    approx_wide: int | None = None,
 ):
     n_dev = mesh.devices.size
 
@@ -145,6 +147,7 @@ def _ivf_scan_factory(
                 queries, buckets, counts, mask,
                 local_probed.astype(jnp.int32), probe_valid, k_coarse,
                 interpret=interpret, approx=bool(refine),
+                qt_max=qt_max, epilogue=epilogue, approx_wide=approx_wide,
             )
         else:
             s, gslot = _scan_probed(
@@ -212,8 +215,10 @@ class ShardedFlat:
         queries = jnp.atleast_2d(jnp.asarray(queries, jnp.float32))
         fn = _flat_scan_factory(self.mesh, k, chunk, self.rows_per_shard, approx)
         s, gi = fn(queries, self.packed, self.n_local)
-        s = np.asarray(s)
-        gi = np.asarray(gi)
+        # ONE synchronous D2H for both outputs: each np.asarray is its own
+        # round trip through the remote tunnel (CLAUDE.md: late-session
+        # syncs degrade to ~500 s each; hot paths keep to one)
+        s, gi = jax.device_get((s, gi))
         safe = np.clip(gi, 0, len(self.ids) - 1)
         out = np.where(gi < 0, -1, self.ids[safe])
         return s, out
@@ -265,7 +270,13 @@ class ShardedIVF:
             assignments = assign_clusters(host_packed, centroids)
         assignments = np.asarray(assignments, np.int32)
         counts = np.bincount(assignments, minlength=k_pad).astype(np.int32)
-        cap = bucket_capacity(int(counts.max()) if len(ids) else 1)
+        # headroom=1.0: sharded replicas are read-only serving structures
+        # (inserts land in the single-device index; the next rebuild swap
+        # re-shards) — the default 25% streaming headroom would be ~3 GB
+        # of dead padding per replica at the 10M layout
+        cap = bucket_capacity(
+            int(counts.max()) if len(ids) else 1, headroom=1.0
+        )
 
         order = np.argsort(assignments, kind="stable")
         sorted_cid = assignments[order]
@@ -313,15 +324,30 @@ class ShardedIVF:
             nprobe = self.k_clusters
         nprobe = max(1, min(nprobe, self.k_clusters))
         use_pallas, interpret = _pallas_mode()
+        # resolve env-tunable kernel knobs OUTSIDE the traced closure and
+        # key the factory cache on them — resolved inside, the first trace
+        # would latch the env for the life of the lru_cache entry (the
+        # stale-trace bug class index/ivf.py:search documents)
+        if use_pallas:
+            from ..kernels.pallas_scan import (
+                _approx_wide,
+                _default_epilogue,
+                _qt_max,
+            )
+
+            qt_max, epilogue = _qt_max(), _default_epilogue()
+            approx_wide = _approx_wide()
+        else:
+            qt_max = epilogue = approx_wide = None
         fn = _ivf_scan_factory(
             self.mesh, k, nprobe, self.clusters_per_shard, self.cap,
             self.k_clusters, refine, use_pallas, interpret,
+            qt_max, epilogue, approx_wide,
         )
         s, gi = fn(
             queries, self.centroids_n, self.buckets, self.counts, self.bucket_mask
         )
-        s = np.asarray(s)
-        gi = np.asarray(gi)
+        s, gi = jax.device_get((s, gi))  # one transfer (see ShardedFlat)
         flat_ids = self.ids.reshape(-1)
         safe = np.clip(gi, 0, flat_ids.size - 1)
         out = np.where(gi < 0, -1, flat_ids[safe])
