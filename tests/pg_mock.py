@@ -37,9 +37,19 @@ def _enc_value(v) -> bytes | None:
 class MockPg:
     """One listening mock server == one DSN. Start N for replica tests."""
 
-    def __init__(self, auth: str = "trust", user: str = "u", password: str = "pw"):
+    def __init__(
+        self,
+        auth: str = "trust",
+        user: str = "u",
+        password: str = "pw",
+        ssl_context=None,
+    ):
+        """ssl_context: a server-side SSLContext makes the mock accept
+        SSLRequest with 'S' and wrap the connection (like a TLS-enabled
+        postgres); None answers 'N' (SSL off)."""
         assert auth in ("trust", "cleartext", "md5", "scram")
         self.auth = auth
+        self.ssl_context = ssl_context
         self.user = user
         self.password = password
         self.queries: list[str] = []  # every SQL received, in order
@@ -109,9 +119,23 @@ class MockPg:
             def send(t, payload=b""):
                 conn.sendall(t + struct.pack("!I", len(payload) + 4) + payload)
 
-            # startup (untyped message)
-            (ln,) = struct.unpack("!I", recv_exact(4))
-            recv_exact(ln - 4)  # parameters; mock doesn't validate user/db
+            # startup; an SSLRequest (magic 80877103) may precede it —
+            # answer like a real server ('S' + TLS wrap when configured,
+            # 'N' otherwise) and then read the real startup message
+            while True:
+                (ln,) = struct.unpack("!I", recv_exact(4))
+                payload = recv_exact(ln - 4)
+                if ln == 8 and struct.unpack("!I", payload)[0] == 80877103:
+                    if self.ssl_context is not None:
+                        conn.sendall(b"S")
+                        conn = self.ssl_context.wrap_socket(
+                            conn, server_side=True
+                        )
+                        buf = b""  # fresh framing on the TLS channel
+                    else:
+                        conn.sendall(b"N")
+                    continue
+                break  # startup parameters; mock doesn't validate user/db
 
             def recv_msg():
                 head = recv_exact(5)

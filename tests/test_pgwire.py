@@ -458,3 +458,57 @@ def test_pgstore_boot_tolerates_dead_replica():
         store.close()
     finally:
         primary.close()
+
+
+# ------------------------------------------------------------ SSL negotiation
+
+
+def test_dsn_sslmode_and_unknown_params():
+    d = Dsn.parse("postgres://u:p@h:5/db?sslmode=require")
+    assert d.sslmode == "require"
+    assert Dsn.parse("postgres://u:p@h:5/db").sslmode == "prefer"
+    with pytest.raises(ValueError):
+        Dsn.parse("postgres://u:p@h:5/db?sslmode=bogus")
+    with pytest.raises(ValueError):  # never silently drop demanded params
+        Dsn.parse("postgres://u:p@h:5/db?sslcert=client.pem")
+
+
+def test_sslmode_require_refused_by_plain_server():
+    """A server that answers 'N' to SSLRequest must be rejected when the
+    DSN demands TLS (libpq sslmode=require semantics)."""
+    mock = MockPg()
+    try:
+        with pytest.raises(ConnectionError):
+            PgConnection(mock.dsn + "?sslmode=require")
+        # prefer (default) falls back to cleartext against the same server
+        conn = PgConnection(mock.dsn)
+        assert conn.execute("SELECT 1").command
+        conn.close()
+    finally:
+        mock.close()
+
+
+def test_sslmode_require_full_tls_roundtrip(tmp_path):
+    """End-to-end TLS: SSLRequest -> 'S' -> wrapped channel -> auth +
+    queries over the encrypted connection."""
+    import ssl
+
+    from vectorsearch_tpu.api import tls as tlsmod
+
+    if not tlsmod.HAVE_CRYPTO:
+        pytest.skip("cryptography unavailable")
+    cert_pem, key_pem = tlsmod.generate_self_signed(["localhost"])
+    cert = tmp_path / "c.pem"
+    key = tmp_path / "k.pem"
+    cert.write_bytes(cert_pem)
+    key.write_bytes(key_pem)
+    ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+    ctx.load_cert_chain(cert, key)
+    mock = MockPg(auth="scram", ssl_context=ctx)
+    mock.on(r"SELECT secure", ([("x", INT8)], [(7,)], "SELECT 1"))
+    try:
+        conn = PgConnection(mock.dsn + "?sslmode=require")
+        assert conn.execute("SELECT secure").rows == [(7,)]
+        conn.close()
+    finally:
+        mock.close()

@@ -48,6 +48,11 @@ PREFACE = b"PRI * HTTP/2.0\r\n\r\nSM\r\n\r\n"
 DEFAULT_WINDOW = 65535
 MAX_FRAME = 16384
 MAX_BODY = 256 * 1024 * 1024  # mirror the h1 listener's client_max_size
+# header-block cap: DATA is bounded by MAX_BODY, but an endless
+# HEADERS+CONTINUATION fragment stream would grow _hdr_frag without limit
+# (one malicious TLS client could OOM a 15 GB-RSS serving process).
+# Exceeding it raises -> connection torn down by the frame loop.
+MAX_HEADER_BLOCK = 1024 * 1024
 
 # ---- HPACK via libnghttp2 (public nghttp2_hd_* API) ----
 
@@ -301,6 +306,8 @@ class H2Connection:
                 self.streams[sid] = _Stream(sid, self.peer_initial_window)
             self._hdr_stream = sid
             self._hdr_frag = bytearray(frag)
+            if len(self._hdr_frag) > MAX_HEADER_BLOCK:
+                raise ValueError("header block exceeds MAX_HEADER_BLOCK")
             self._hdr_end_stream = bool(flags & FLAG_END_STREAM)
             if flags & FLAG_END_HEADERS:
                 self._headers_done()
@@ -308,6 +315,8 @@ class H2Connection:
             if self._hdr_stream != sid:
                 raise ValueError("CONTINUATION on wrong stream")
             self._hdr_frag.extend(payload)
+            if len(self._hdr_frag) > MAX_HEADER_BLOCK:
+                raise ValueError("header block exceeds MAX_HEADER_BLOCK")
             if flags & FLAG_END_HEADERS:
                 self._headers_done()
         elif ftype == DATA:

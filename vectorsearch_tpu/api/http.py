@@ -82,7 +82,12 @@ async def _read_json(request: web.Request):
         body = await request.read()
     if not body:
         return {}
-    return json.loads(body)
+    req = json.loads(body)
+    if not isinstance(req, dict):
+        # every API body is a JSON object; a bare string/array would hit
+        # req.get(...) in handlers and 500 instead of 400
+        raise ValueError("request body must be a JSON object")
+    return req
 
 
 def _maybe_compress(request: web.Request, payload: bytes) -> tuple[bytes, dict]:
@@ -121,7 +126,10 @@ def build_app(engine: Engine) -> web.Application:
         async def wrapped(request: web.Request):
             txid = next_txid()
             if request.method not in methods:
-                return _json_error(405, "Invalid request method", Allow="POST")
+                # RFC 9110 §15.5.6: Allow lists every supported method
+                return _json_error(
+                    405, "Invalid request method", Allow=", ".join(methods)
+                )
             try:
                 req = await _read_json(request)
             except Exception:
@@ -216,6 +224,11 @@ def build_app(engine: Engine) -> web.Application:
     # ---- upload (server/upload.go:40-108) ----
     def do_upload(req, cancel):
         docs = req.get("documents") or []
+        if not isinstance(docs, list) or not all(
+            isinstance(d, dict) for d in docs
+        ):
+            # a string entry would hit doc.get(...) in the engine and 500
+            raise ValueError("documents must be an array of objects")
         ids = engine.upload(
             req.get("owner", ""), req.get("category", ""), docs, cancel=cancel
         )
@@ -246,7 +259,7 @@ def build_app(engine: Engine) -> web.Application:
     async def chat_handler(request: web.Request):
         txid = next_txid()
         if request.method not in ("POST", "GET"):
-            return _json_error(405, "Invalid request method", Allow="POST")
+            return _json_error(405, "Invalid request method", Allow="POST, GET")
         try:
             req = await _read_json(request)
         except Exception:

@@ -34,6 +34,7 @@ import threading
 import numpy as np
 
 from .. import constants
+from ..utils.errors import fresh_exc
 
 
 # Batch size classes: each class is one compiled program per (snapshot
@@ -131,7 +132,9 @@ class QueryBatcher:
             batch.done.wait()
 
         if batch.error is not None:
-            raise batch.error
+            # per-waiter copy: many coalesced threads re-raising one
+            # instance would interleave __traceback__ mutation
+            raise fresh_exc(batch.error)
         scores, ids = batch.result
         return scores[idx], ids[idx]
 

@@ -12,6 +12,7 @@ import threading
 import time
 
 from .. import constants
+from ..utils.errors import fresh_exc
 
 
 class _InFlight:
@@ -48,7 +49,8 @@ class TTLCache:
         if not is_leader:
             flight.event.wait()
             if flight.error is not None:
-                raise flight.error
+                # per-waiter copy (see utils.errors.fresh_exc)
+                raise fresh_exc(flight.error)
             return flight.value
         try:
             value = loader()

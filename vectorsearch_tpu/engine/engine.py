@@ -219,11 +219,19 @@ class Engine:
             with self._states_lock:
                 states = dict(self._states)
             for cid, st in states.items():
-                if st.ivf is not None and st.ivf.n_live > 0 and st.dirty:
+                # read (ivf, centroid_db_ids, doc_map) as ONE version
+                # under st.lock: a concurrent rebuild swap between the
+                # reads could pair the old clustering with the new
+                # centroid ids — an accepted-but-wrong snapshot that maps
+                # cluster i to the wrong DB centroid on next boot
+                with st.lock:
+                    ivf = st.ivf
+                    cent_ids = st.centroid_db_ids
+                    doc_map = st.doc_map
+                    dirty = st.dirty
+                if ivf is not None and ivf.n_live > 0 and dirty:
                     try:
-                        self._save_snapshot(
-                            cid, st.ivf, st.centroid_db_ids, st.doc_map
-                        )
+                        self._save_snapshot(cid, ivf, cent_ids, doc_map)
                         st.dirty = False
                     except Exception as e:
                         sugar().warning("snapshot of category %d failed: %s", cid, e)
@@ -580,6 +588,7 @@ class Engine:
         leader = False
         queued = False
         jobs = None
+        batch_settled = False  # batch outcome recorded on every job
         try:
             # the append sits INSIDE the protected region: an async
             # exception between appending and processing used to leave the
@@ -596,12 +605,14 @@ class Engine:
                         state.upload_queue.clear()
                     try:
                         self._process_upload_batch(state, category.id, jobs)
+                        batch_settled = True
                     except BaseException as e:
                         # a batch-level failure means NO rows reached the
                         # HBM index (state.ivf swaps only after a
                         # successful insert): fail every member, rolling
                         # back any per-request SQL txn that committed
                         self._fail_jobs(jobs, category.id, e)
+                        batch_settled = True
                     finally:
                         for j in jobs:
                             j.done.set()
@@ -619,7 +630,16 @@ class Engine:
                     else:  # interrupted follower: just withdraw
                         state.upload_queue.remove(job)
             if drained is None and jobs is not None and not job.done.is_set():
-                drained = jobs  # leader died after draining, before failing
+                if batch_settled:
+                    # the batch SUCCEEDED (or was already failed) and the
+                    # async exception landed inside the done-signalling
+                    # loop: rolling back here would delete committed rows
+                    # whose vectors are already serving from the HBM
+                    # index — just finish signalling and re-raise
+                    for j in jobs:
+                        j.done.set()
+                else:
+                    drained = jobs  # leader died mid-batch, before failing
             if drained:
                 self._fail_jobs(drained, category.id, e)
                 for j in drained:

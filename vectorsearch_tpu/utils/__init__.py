@@ -1,3 +1,4 @@
+from .errors import fresh_exc  # noqa: F401
 from .profiling import (
     device_memory_stats,
     device_trace,
