@@ -512,3 +512,38 @@ def test_sslmode_require_full_tls_roundtrip(tmp_path):
         conn.close()
     finally:
         mock.close()
+
+
+def test_pgstore_consistency_reads_go_to_primary():
+    """Index-consistency reads (divergence aggregates, the boot/rebuild
+    embedding stream, delete targeting, centroid lists) must bypass
+    replicas: replica lag there would make the engine swap its HBM index
+    to a stale rebuild (losing freshly-indexed rows) — only DISPLAY reads
+    round-robin."""
+    primary = MockPg()
+    replica = MockPg()
+    cnt = ([("c", INT8)], [(0,)], "SELECT 1")
+    for m in (primary, replica):
+        m.on(r"SELECT COUNT\(\*\) FROM embeddings", cnt)
+        m.on(r"SELECT MAX\(e.id\)", ([("m", INT8)], [(0,)], "SELECT 1"))
+    try:
+        store = PgStore([primary.dsn], [replica.dsn])
+        store.count_embeddings(1)
+        store.max_embedding_id(1)
+        store.embeddings_page(1, 0, 10)
+        store.embeddings_for_documents([1])
+        store.centroids(1)
+        store.document_ids_for_category(1)
+        store.embedding_doc_pairs(1)
+        assert not replica.queries  # nothing leaked to the replica
+        # sanity: display reads DO use the replica
+        replica.on(
+            r"SELECT id, name FROM owners",
+            ([("id", INT8), ("name", TEXT)], [(1, "o")], "SELECT 1"),
+        )
+        store.get_owner("o")
+        assert any("FROM owners" in q for q in replica.queries)
+        store.close()
+    finally:
+        primary.close()
+        replica.close()
