@@ -188,9 +188,12 @@ def main():
         jax.default_backend() == "tpu"
         and os.environ.get("VSTPU_NO_PALLAS") != "1"
     )
-    for nprobe in (1, NPROBE, 64):
-        nprobe = min(nprobe, ivf.k_clusters)
-        for bsz in {BATCH, flat_batch}:
+    # dedupe after the k_clusters clamp: smoke runs with small K (or
+    # VSTPU_BENCH_NPROBE of 1/64) would otherwise measure the same config
+    # twice, each a full tunnel round
+    nprobes = list(dict.fromkeys(min(p, ivf.k_clusters) for p in (1, NPROBE, 64)))
+    for nprobe in nprobes:
+        for bsz in sorted({BATCH, flat_batch}):
             try:
                 measure(
                     f"ivf+refine nprobe={nprobe}",
@@ -206,7 +209,7 @@ def main():
                 log("bench: ivf nprobe=%d B=%d failed: %s", nprobe, bsz, e)
 
     # Flat exhaustive batched scan (throughput config; approx top-k unit)
-    for fb in {BATCH, flat_batch}:
+    for fb in sorted({BATCH, flat_batch}):
         try:
             measure(
                 f"flat approx B={fb}",

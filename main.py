@@ -154,6 +154,7 @@ async def serve(cfg: config_mod.Config, engine: Engine):
             )
         except Exception as e:
             sugar().error("HTTPS disabled: %s", e)
+            tls.close()  # stop the hourly reload thread start() spawned
             tls = None
     sugar().info(
         "listening on http %s%s",
@@ -212,7 +213,6 @@ def main(argv: list[str]) -> int:
         pass
 
     ai = AI.from_config(cfg, use_noop=os.environ.get("VSTPU_NOOP_AI") == "1")
-    preftest()
 
     mesh = None
     if cfg.mesh.shard_serving:
@@ -237,9 +237,9 @@ def main(argv: list[str]) -> int:
         else:
             from vectorsearch_tpu.store.remote import StoreServer
 
-            host, _, port = cfg.database.serve_store.rpartition(":")
+            host, port = _addr(cfg.database.serve_store)
             store_server = StoreServer(
-                store, host or "0.0.0.0", int(port),
+                store, host or "0.0.0.0", port,
                 token=cfg.database.store_token,
             ).start()
             if not cfg.database.store_token:
@@ -249,6 +249,11 @@ def main(argv: list[str]) -> int:
                     "method including deletes"
                 )
             sugar().info("store server listening on %s", store_server.address)
+    # preftest AFTER the host-only store boot: its block_until_ready would
+    # otherwise queue behind warm_device_transfer's in-flight first-D2H
+    # stall and serialize boot (CLAUDE.md: put host-only work right after
+    # the warm-up, device-synchronous work as late as possible)
+    preftest()
     engine = Engine(store, ai, snapshot_dir=cfg.database.snapshots, mesh=mesh)
 
     # one-shot background index refresh at startup (reference: main.go:92),

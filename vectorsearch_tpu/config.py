@@ -111,7 +111,9 @@ class DatabaseConfig:
     def parse(d: dict | None) -> "DatabaseConfig":
         d = d or {}
         return DatabaseConfig(
-            sqlite=d.get("sqlite", "./vectorstore.db"),
+            # scalar-or-list (reference SingleOrSlice): list form takes
+            # the first DSN — os.path.abspath(list) would die at boot
+            sqlite=(_as_list(d.get("sqlite")) or ["./vectorstore.db"])[0],
             postgres=_as_list(d.get("postgres")),
             postgres_readonly=_as_list(d.get("postgres_readonly")),
             cache=d.get("cache", "./vectorcache"),

@@ -19,7 +19,8 @@ from urllib.parse import urljoin
 import requests
 
 from .. import constants
-from ..store.db import compress, decompress
+from .base import AIError
+from ..store.db import HAVE_ZSTD, compress, decompress
 
 
 class SessionManager:
@@ -86,9 +87,14 @@ class ProviderClient:
         base = ctx.__enter__()
         try:
             url = urljoin(base if base.endswith("/") else base + "/", path.lstrip("/"))
-            headers = {"Content-Type": "application/json", "Accept-Encoding": "zstd"}
+            headers = {"Content-Type": "application/json"}
+            # store.db falls back to zlib when the zstd module is missing;
+            # zlib frames labeled "zstd" would corrupt the exchange, so only
+            # advertise/emit zstd when the real codec is present
+            if HAVE_ZSTD:
+                headers["Accept-Encoding"] = "zstd"
             body = payload
-            if self.cfg.request_compression:
+            if self.cfg.request_compression and HAVE_ZSTD:
                 body = compress(payload)
                 headers["Content-Encoding"] = "zstd"
             if self.cfg.token:
@@ -126,5 +132,12 @@ class ProviderClient:
             # we see it; only decompress when the zstd frame magic is still
             # present, so we never double-decompress
             if body[:4] == b"\x28\xb5\x2f\xfd":
+                if not HAVE_ZSTD:
+                    # zlib fallback can't decode zstd frames; fail loudly
+                    # instead of handing zlib garbage to the JSON parser
+                    raise AIError(
+                        "server sent zstd-encoded body but no zstd codec is "
+                        "available in this runtime"
+                    )
                 body = decompress(body)
         return body

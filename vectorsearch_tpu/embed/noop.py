@@ -8,6 +8,7 @@ seeds from crypto/rand), the seed is an argument so tests are hermetic.
 from __future__ import annotations
 
 import struct
+import threading
 from typing import Iterator
 
 import numpy as np
@@ -22,6 +23,10 @@ _HEADER = np.frombuffer(struct.pack("<ff", -1.0, 1.0), dtype=np.uint8)
 class NoopAI(AIProvider):
     def __init__(self, seed: int | None = None, dim: int = EMBED_DIM):
         self._rng = np.random.default_rng(seed)
+        # concurrent HTTP requests call embed() from executor threads;
+        # numpy Generators are not thread-safe (state corruption would
+        # make the deterministic fake nondeterministic)
+        self._rng_lock = threading.Lock()
         self._dim = dim
 
     # capabilities
@@ -39,16 +44,22 @@ class NoopAI(AIProvider):
         if not inputs:
             raise AIError("input is empty")
         out = []
-        for _ in inputs:
-            row = np.empty(8 + self._dim, np.uint8)
-            row[:8] = _HEADER
-            row[8:] = self._rng.integers(0, 256, size=self._dim, dtype=np.uint8)
-            out.append(row)
+        with self._rng_lock:
+            for _ in inputs:
+                row = np.empty(8 + self._dim, np.uint8)
+                row[:8] = _HEADER
+                row[8:] = self._rng.integers(
+                    0, 256, size=self._dim, dtype=np.uint8
+                )
+                out.append(row)
         return out
 
     def _hex_noise(self) -> str:
-        n = int(self._rng.integers(0, GENERATE_MAX_LEN))
-        return bytes(self._rng.integers(0, 256, size=n, dtype=np.uint8)).hex()
+        with self._rng_lock:
+            n = int(self._rng.integers(0, GENERATE_MAX_LEN))
+            return bytes(
+                self._rng.integers(0, 256, size=n, dtype=np.uint8)
+            ).hex()
 
     def generate(self, prompt, model=None) -> str:
         return self._hex_noise()

@@ -10,6 +10,7 @@ Set VSTPU_NO_NATIVE=1 to force the numpy path (used by parity tests).
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
@@ -18,21 +19,58 @@ import numpy as np
 
 _DIR = os.path.dirname(__file__)
 _SO = os.path.join(_DIR, "libvscodec.so")
+_STAMP = os.path.join(_DIR, ".build_stamp")
 _LOCK = threading.Lock()
 _LIB: ctypes.CDLL | None = None
 _TRIED = False
 
 
-def _build() -> bool:
+def _expected_stamp() -> str:
+    """Hash of the source + the host CPU identity.
+
+    The .so is built -march=native: a VM restart can land the persisted
+    binary on a different host CPU, where loading it risks SIGILL (same
+    pathology as the stale XLA:CPU AOT cache — see CLAUDE.md). Keying the
+    stamp on /proc/cpuinfo's model+flags forces a rebuild in that case,
+    and hashing codec.cpp forces one when the source changes.
+    """
+    h = hashlib.sha256()
     try:
-        subprocess.run(
-            ["make", "-C", _DIR, "-s"],
-            check=True,
-            capture_output=True,
-            timeout=120,
-        )
-        return os.path.exists(_SO)
+        with open(os.path.join(_DIR, "codec.cpp"), "rb") as f:
+            h.update(f.read())
+    except OSError:
+        pass
+    try:
+        with open("/proc/cpuinfo", "rb") as f:
+            for line in f:
+                if line.startswith((b"model name", b"flags")):
+                    h.update(line)
+                    break  # first core is enough
+    except OSError:
+        pass
+    return h.hexdigest()
+
+
+def _build(force: bool = False) -> bool:
+    try:
+        cmd = ["make", "-C", _DIR, "-s"]
+        if force:
+            cmd.append("-B")
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        if not os.path.exists(_SO):
+            return False
+        with open(_STAMP, "w") as f:
+            f.write(_expected_stamp())
+        return True
     except Exception:
+        return False
+
+
+def _stamp_ok() -> bool:
+    try:
+        with open(_STAMP) as f:
+            return f.read().strip() == _expected_stamp()
+    except OSError:
         return False
 
 
@@ -47,7 +85,8 @@ def lib() -> ctypes.CDLL | None:
         if _LIB is not None or _TRIED:
             return _LIB
         _TRIED = True
-        if not os.path.exists(_SO) and not _build():
+        fresh = os.path.exists(_SO) and _stamp_ok()
+        if not fresh and not _build(force=os.path.exists(_SO)):
             return None
         try:
             cdll = ctypes.CDLL(_SO)

@@ -38,6 +38,7 @@ try:
 
     _COMPRESSOR = _zstd.ZstdCompressor(level=1)
     _DECOMPRESSOR = _zstd.ZstdDecompressor()
+    HAVE_ZSTD = True
 
     def compress(raw: bytes) -> bytes:
         return _COMPRESSOR.compress(raw)
@@ -47,6 +48,10 @@ try:
 
 except ImportError:  # pragma: no cover - zstd is present in the image
     import zlib
+
+    # NOT wire-compatible with zstd: callers that put "zstd" on the wire
+    # (embed/httpclient.py) must check HAVE_ZSTD before labeling bodies
+    HAVE_ZSTD = False
 
     def compress(raw: bytes) -> bytes:
         return zlib.compress(raw, 1)
