@@ -120,7 +120,7 @@ def test_pallas_k_larger_than_valid():
 
 
 @pytest.mark.parametrize(
-    "epilogue", ["pair", "rowfirst", "flat", "flatwide", "ileave"]
+    "epilogue", ["pair", "rowfirst", "flat", "blockexact", "flatwide", "ileave"]
 )
 @pytest.mark.parametrize("nprobe", [1, 3, 8])
 def test_epilogue_variants_match_xla(epilogue, nprobe):
@@ -181,6 +181,61 @@ def test_ileave_exact_matches_xla_high_nprobe(nprobe):
     )
     np.testing.assert_allclose(np.asarray(s_pal), np.asarray(s_ref), atol=1e-3)
     assert np.array_equal(np.asarray(i_pal), np.asarray(i_ref))
+
+
+@pytest.mark.parametrize("nprobe", [16, 64, 96])
+def test_blockexact_matches_xla_high_nprobe(nprobe):
+    """blockexact is an EXACT epilogue: the top-k_eff blocks ranked by
+    block max contain every top-k_eff element, so the result must be
+    identical to the XLA reference at the high-nprobe shapes where it is
+    the intended replacement for flat/exact. With cap=64 here, nprobe=16
+    falls below the prefilter-pays gate (k_eff*bs*2 > nprobe*cap) and
+    exercises the internal flat fallback; 64/96 take the block path."""
+    ivf, v = make_ivf(n_per=40, k=96, d=128)
+    q = jnp.asarray(v[:17] + 0.01, jnp.float32)
+    s_ref, i_ref = _ivf_scan(
+        q, ivf.centroids_n, ivf.buckets, ivf.counts_dev, ivf.bucket_mask,
+        nprobe=nprobe, k=10,
+    )
+    s_pal, i_pal = ivf_scan_pallas(
+        q, ivf.centroids_n, ivf.buckets, ivf.counts_dev, ivf.bucket_mask,
+        nprobe=nprobe, k=10, interpret=True, epilogue="blockexact",
+    )
+    np.testing.assert_allclose(np.asarray(s_pal), np.asarray(s_ref), atol=1e-3)
+    assert np.array_equal(np.asarray(i_pal), np.asarray(i_ref))
+
+
+def test_blockexact_probe_valid_masking():
+    """Sharded path: probe entries masked via probe_valid must never
+    surface — neither through the block-max ranking nor through the
+    candidate gather (the gathered block values are real scores, so the
+    mask must be re-applied at candidate level)."""
+    from vectorsearch_tpu.kernels.pallas_scan import ivf_scan_pallas_probed
+
+    # 32 clusters x cap 64: k_eff=8, bs=64 -> the prefilter gate
+    # (k_eff*bs*2 <= nprobe*cap) passes, so the BLOCK path runs (a
+    # smaller kk would silently route to the internal flat fallback)
+    ivf, v = make_ivf(n_per=40, k=32)
+    q = jnp.asarray(v[:5] + 0.01, jnp.float32)
+    # probe every cluster, then mark half the probes invalid
+    kk = ivf.k_clusters
+    probed = jnp.tile(jnp.arange(kk, dtype=jnp.int32), (5, 1))
+    probe_valid = jnp.tile(
+        jnp.arange(kk, dtype=jnp.int32) % 2 == 0, (5, 1)
+    )
+    outs = {}
+    for epi in ("flat", "blockexact"):
+        s, gslot = ivf_scan_pallas_probed(
+            q, ivf.buckets, ivf.counts_dev, ivf.bucket_mask,
+            probed, probe_valid, k=8, interpret=True, epilogue=epi,
+            approx=False,
+        )
+        outs[epi] = (np.asarray(s), np.asarray(gslot))
+        finite = np.isfinite(outs[epi][0])
+        clusters = outs[epi][1][finite] // ivf.cap
+        assert (clusters % 2 == 0).all(), epi  # masked probes never returned
+    np.testing.assert_array_equal(outs["flat"][0], outs["blockexact"][0])
+    np.testing.assert_array_equal(outs["flat"][1], outs["blockexact"][1])
 
 
 def test_ileave_approx_valid_slots():

@@ -130,6 +130,15 @@ def phases_mode(ivf, queries, truth, ids, flat_ids):
     batch = int(os.environ.get("VSTPU_PHASE_BATCH", 512))
     nprobe = int(os.environ.get("VSTPU_PHASE_NPROBE", 64))
     kc = 32
+    # comma-separated substring filter over variant labels: each compile
+    # is a 30-120s tunnel round trip, so measuring two new variants must
+    # not re-pay for the whole catalogue
+    only = [
+        s for s in os.environ.get("VSTPU_PHASE_ONLY", "").split(",") if s
+    ]
+
+    def wanted(label: str) -> bool:
+        return not only or any(s in label for s in only)
     q_dev = jnp.asarray(np.resize(queries, (batch, DIM)))
     kk, cap, d = ivf.buckets.codes.shape
 
@@ -169,10 +178,13 @@ def phases_mode(ivf, queries, truth, ids, flat_ids):
         ("full rowfirst/exact", dict(epilogue="rowfirst", approx=False)),
         ("full flat/approx", dict(epilogue="flat", approx=True)),
         ("full flat/exact", dict(epilogue="flat", approx=False)),
+        ("full blockexact", dict(epilogue="blockexact", approx=False)),
         ("full flatwide/approx", dict(epilogue="flatwide", approx=True)),
         ("full ileave/approx", dict(epilogue="ileave", approx=True)),
         ("full ileave/exact", dict(epilogue="ileave", approx=False)),
     ]:
+        if not wanted(label):
+            continue
         try:
             fn = lambda q, kw=kwargs: ivf_scan_pallas(
                 q, ivf.centroids_n, ivf.buckets, ivf.counts_dev,
@@ -182,6 +194,8 @@ def phases_mode(ivf, queries, truth, ids, flat_ids):
         except Exception as e:
             log("phases: %s FAILED: %s", label, str(e)[:200])
     for qt_ovr in (64, 128):
+        if not wanted(f"qt_max={qt_ovr}"):
+            continue
         try:
             fn = lambda q, qo=qt_ovr: ivf_scan_pallas(
                 q, ivf.centroids_n, ivf.buckets, ivf.counts_dev,
@@ -218,6 +232,8 @@ def phases_mode(ivf, queries, truth, ids, flat_ids):
          dict(epilogue="flat", approx=True, approx_wide=4,
               approx_recall=0.99, qt_max=64)),
     ]:
+        if not wanted(label):
+            continue
         try:
             fn = lambda q, kw=kwargs: ivf_scan_pallas(
                 q, ivf.centroids_n, ivf.buckets, ivf.counts_dev,
@@ -241,6 +257,7 @@ def phases_mode(ivf, queries, truth, ids, flat_ids):
         ("rowfirst/approx", dict(epilogue="rowfirst", approx=True)),
         ("flat/approx", dict(epilogue="flat", approx=True)),
         ("flat/exact", dict(epilogue="flat", approx=False)),
+        ("blockexact", dict(epilogue="blockexact", approx=False)),
         ("flatwide/approx", dict(epilogue="flatwide", approx=True)),
         ("ileave/approx", dict(epilogue="ileave", approx=True)),
         ("ileave/exact", dict(epilogue="ileave", approx=False)),
@@ -256,6 +273,8 @@ def phases_mode(ivf, queries, truth, ids, flat_ids):
          dict(epilogue="flat", approx=True, approx_wide=4,
               approx_recall=0.99)),
     ]:
+        if not wanted(label):
+            continue
         try:
             _, gslot = ivf_scan_pallas(
                 jnp.asarray(queries[:batch]), ivf.centroids_n, ivf.buckets,

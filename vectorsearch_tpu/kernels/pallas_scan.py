@@ -63,9 +63,9 @@ def _qt_max() -> int:
 
 def _default_epilogue() -> str:
     """Top-k epilogue variant (see _grouped_scan): "auto" | "pair" |
-    "rowfirst" | "flat" | "flatwide" | "ileave", VSTPU_EPILOGUE
-    overrides. Resolved OUTSIDE jit so the choice is part of the trace
-    cache key."""
+    "rowfirst" | "flat" | "blockexact" | "flatwide" | "ileave",
+    VSTPU_EPILOGUE overrides. Resolved OUTSIDE jit so the choice is
+    part of the trace cache key."""
     import os
 
     return os.environ.get("VSTPU_EPILOGUE", "auto")
@@ -261,14 +261,15 @@ def _grouped_scan(
         #   * nprobe=1: the flat buffer IS one bucket row per query, so the
         #     approx unit is exactly as safe as the per-pair reduction;
         #     flat/approx measured 151.4k QPS vs 143.0k pair/approx.
-        #   * nprobe>1: one flat EXACT top-k beats the two-stage per-pair
-        #     approx at high nprobe (20.0k vs 15.8k at nprobe=64) and costs
-        #     ~11% at nprobe=8 (61.8k vs 69.2k) while restoring the exact
-        #     corpus-quantization recall floor (0.9664 vs 0.9633 coarse);
-        #     flat/APPROX is faster still but drops contiguous winners at
-        #     10M scale (0.9408 at nprobe=64, r2) — never chosen here.
+        #   * nprobe>1: EXACT reductions (the corpus-quantization recall
+        #     floor, 0.9664 coarse) — flat/approx is faster but drops
+        #     contiguous winners at 10M scale (0.9408 at nprobe=64, r2).
+        #     Among exact shapes, blockexact's block-max prefilter beats
+        #     the monolithic flat top-k 32.4k vs 19.9k QPS at nprobe=64
+        #     (identical results; small geometries fall back to flat
+        #     inside the branch).
         # VSTPU_EPILOGUE=pair restores the r2 behaviour.
-        epilogue = "flat"
+        epilogue = "flat" if nprobe == 1 else "blockexact"
         if nprobe > 1:
             approx = False
 
@@ -448,6 +449,60 @@ def _grouped_scan(
         # interleaved flat position = slot * nprobe + probe_j
         cluster = jnp.take_along_axis(probed, pos % nprobe, axis=-1)
         gslot = cluster * cap + pos // nprobe
+        return _pad_k(best, gslot, k, k_eff)
+    elif epilogue == "blockexact":
+        # EXACT top-k via a block-max prefilter. Correctness: rank
+        # 128-wide blocks by their max; a block containing the i-th
+        # global winner has max >= that winner's score, and only a block
+        # containing one of the i-1 better winners can outrank it — so
+        # the top-k_eff blocks by max contain EVERY top-k_eff element
+        # (same guarantee as the per-pair union, see "pair" above).
+        # Cost: one lane-block max over the score grid (a single read,
+        # instead of "flat"'s [P, cap] pair gather), a top-k over
+        # [B, nprobe*cap/BS] block maxima (BS x fewer columns than the
+        # monolithic reduction that bound "flat" at high nprobe), a
+        # [B, k_eff, BS] candidate gather, and a small exact top-k.
+        bs = min(128, cap)
+        nblk = cap // bs
+        total_blk = nprobe * nblk
+        if cap % bs or k_eff > total_blk or k_eff * bs * 2 > nprobe * cap:
+            # geometry too small for the prefilter to pay (or to be
+            # valid): plain flat exact reduction
+            pair_scores = mask_invalid(
+                out.reshape(g_max * qt, cap)[pair_slot]
+            )
+            flat = pair_scores.reshape(b, nprobe * cap)
+            best, pos = jax.lax.top_k(flat, k_eff)
+            cluster = jnp.take_along_axis(probed, pos // cap, axis=-1)
+            gslot = cluster * cap + pos % cap
+            return _pad_k(best, gslot, k, k_eff)
+        # blocks as ROWS so both the prefilter gather and the candidate
+        # fetch are single-axis row gathers (a first version used a
+        # two-axis advanced-indexing gather for the candidates and
+        # measured 60 ms/batch — XLA lowered it element-wise)
+        blocks = out.reshape(g_max * qt * nblk, bs)
+        bmax = blocks.max(axis=-1).reshape(g_max * qt, nblk)
+        pbm = bmax[pair_slot]  # [P, nblk] — cap/BS x less gather traffic
+        if probe_valid is not None:
+            pbm = jnp.where(probe_valid.reshape(p, 1), pbm, cosine.NEG_INF)
+        _, bpos = jax.lax.top_k(pbm.reshape(b, nprobe * nblk), k_eff)
+        probe_j = bpos // nblk  # [B, k_eff]
+        blk_i = bpos % nblk
+        rowsel = jnp.take_along_axis(
+            pair_slot.reshape(b, nprobe), probe_j, axis=-1
+        )
+        cand = blocks[rowsel * nblk + blk_i]  # [B, k_eff, BS] row gather
+        if probe_valid is not None:
+            vsel = jnp.take_along_axis(
+                probe_valid.reshape(b, nprobe), probe_j, axis=-1
+            )
+            cand = jnp.where(vsel[..., None], cand, cosine.NEG_INF)
+        best, pos2 = jax.lax.top_k(cand.reshape(b, k_eff * bs), k_eff)
+        csel = pos2 // bs  # which selected block each winner came from
+        probe_sel = jnp.take_along_axis(probe_j, csel, axis=-1)
+        slot = jnp.take_along_axis(blk_i, csel, axis=-1) * bs + pos2 % bs
+        cluster = jnp.take_along_axis(probed, probe_sel, axis=-1)
+        gslot = cluster * cap + slot
         return _pad_k(best, gslot, k, k_eff)
     elif epilogue == "flatwide":
         # flat approx with a WIDENED output (nprobe*kc candidates), then
