@@ -90,28 +90,45 @@ def _next_pow2(x: int) -> int:
     return n
 
 
-def _grouped_kernel(
-    # scalar prefetch
-    gcl_ref,  # i32 [G] cluster id per group
-    # VMEM blocks
-    qg_ref,  # bf16 [1, QT, D]   pre-gathered query rows for group g
-    qsum_ref,  # f32 [1, QT, 1]  per-query sum column
-    codes_ref,  # i8  [1, TILE, D]
-    a_ref,  # f32 [1, 1, TILE]    scale * inv_norm (lane-major row)
-    bv_ref,  # f32 [1, 1, TILE]   offset * inv_norm
-    bias_ref,  # f32 [1, 1, TILE] 0 live / -inf dead
-    # output
-    out_ref,  # f32 [1, QT, TILE]
-):
-    q = qg_ref[0]  # [QT, D] bf16
-    codes = codes_ref[0].astype(jnp.bfloat16)  # [TILE, D]
-    dots = jax.lax.dot_general(
-        q,
-        codes,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [QT, TILE] on the MXU
-    out_ref[0] = dots * a_ref[0] + qsum_ref[0] * bv_ref[0] + bias_ref[0]
+def _make_grouped_kernel(nblk_tile: int, bs: int):
+    """Kernel emitting the score tile AND its per-128-lane-block maxima.
+
+    The block maxima feed the blockexact epilogue's prefilter. Computing
+    them here — while the [QT, TILE] scores sit in VMEM — costs one
+    vector reduce per tile; computing them outside the kernel costs a
+    full HBM re-read of the score grid, and any host-side reshape of cap
+    into (nblk, 128) re-tiles the lane dimension, which XLA materializes
+    as a physical COPY of the whole grid (the copy OOM'd the 10M config
+    where codes already hold 15.5 of 16 GB HBM)."""
+
+    def kernel(
+        # scalar prefetch
+        gcl_ref,  # i32 [G] cluster id per group
+        # VMEM blocks
+        qg_ref,  # bf16 [1, QT, D]   pre-gathered query rows for group g
+        qsum_ref,  # f32 [1, QT, 1]  per-query sum column
+        codes_ref,  # i8  [1, TILE, D]
+        a_ref,  # f32 [1, 1, TILE]    scale * inv_norm (lane-major row)
+        bv_ref,  # f32 [1, 1, TILE]   offset * inv_norm
+        bias_ref,  # f32 [1, 1, TILE] 0 live / -inf dead
+        # outputs
+        out_ref,  # f32 [1, QT, TILE]
+        bmax_ref,  # f32 [1, QT, TILE//BS]
+    ):
+        q = qg_ref[0]  # [QT, D] bf16
+        codes = codes_ref[0].astype(jnp.bfloat16)  # [TILE, D]
+        dots = jax.lax.dot_general(
+            q,
+            codes,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [QT, TILE] on the MXU
+        scores = dots * a_ref[0] + qsum_ref[0] * bv_ref[0] + bias_ref[0]
+        out_ref[0] = scores
+        qt = scores.shape[0]
+        bmax_ref[0] = scores.reshape(qt, nblk_tile, bs).max(axis=-1)
+
+    return kernel
 
 
 def ivf_scan_pallas(
@@ -316,6 +333,12 @@ def _grouped_scan(
     bv = (buckets.offset * buckets.inv_norm).reshape(kk, 1, cap)
     bias = jnp.where(valid, 0.0, cosine.NEG_INF).reshape(kk, 1, cap)
 
+    # block size for the blockexact prefilter maxima (cap is always a
+    # BUCKET_ROUND=64 multiple, so 64 covers every non-128-divisible tile)
+    bs = 128 if tile % 128 == 0 else 64
+    nblk_tile = tile // bs
+    nblk = cap // bs
+
     row_spec = pl.BlockSpec(
         (1, 1, tile), lambda t_, g_, gcl: (gcl[g_], 0, t_)
     )
@@ -334,14 +357,20 @@ def _grouped_scan(
             row_spec,
             row_spec,
         ],
-        out_specs=pl.BlockSpec(
-            (1, qt, tile), lambda t_, g_, gcl: (g_, 0, t_)
-        ),
+        out_specs=[
+            pl.BlockSpec((1, qt, tile), lambda t_, g_, gcl: (g_, 0, t_)),
+            pl.BlockSpec(
+                (1, qt, nblk_tile), lambda t_, g_, gcl: (g_, 0, t_)
+            ),
+        ],
     )
-    out = pl.pallas_call(
-        _grouped_kernel,
+    out, bmax = pl.pallas_call(
+        _make_grouped_kernel(nblk_tile, bs),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((g_max, qt, cap), jnp.float32),
+        out_shape=[
+            jax.ShapeDtypeStruct((g_max, qt, cap), jnp.float32),
+            jax.ShapeDtypeStruct((g_max, qt, nblk), jnp.float32),
+        ],
         interpret=interpret,
     )(grp_cluster, qg, qsum_g, buckets.codes, a, bv, bias)
     if debug_phase == "kernel":
@@ -457,15 +486,13 @@ def _grouped_scan(
         # containing one of the i-1 better winners can outrank it — so
         # the top-k_eff blocks by max contain EVERY top-k_eff element
         # (same guarantee as the per-pair union, see "pair" above).
-        # Cost: one lane-block max over the score grid (a single read,
-        # instead of "flat"'s [P, cap] pair gather), a top-k over
-        # [B, nprobe*cap/BS] block maxima (BS x fewer columns than the
-        # monolithic reduction that bound "flat" at high nprobe), a
-        # [B, k_eff, BS] candidate gather, and a small exact top-k.
-        bs = min(128, cap)
-        nblk = cap // bs
+        # Cost: the kernel-emitted block maxima (computed while the tile
+        # is in VMEM), a top-k over [B, nprobe*cap/BS] maxima (BS x fewer
+        # columns than the monolithic reduction that bound "flat" at high
+        # nprobe), a [B, k_eff, BS] candidate slice-gather, and a small
+        # exact top-k.
         total_blk = nprobe * nblk
-        if cap % bs or k_eff > total_blk or k_eff * bs * 2 > nprobe * cap:
+        if k_eff > total_blk or k_eff * bs * 2 > nprobe * cap:
             # geometry too small for the prefilter to pay (or to be
             # valid): plain flat exact reduction
             pair_scores = mask_invalid(
@@ -476,13 +503,14 @@ def _grouped_scan(
             cluster = jnp.take_along_axis(probed, pos // cap, axis=-1)
             gslot = cluster * cap + pos % cap
             return _pad_k(best, gslot, k, k_eff)
-        # blocks as ROWS so both the prefilter gather and the candidate
-        # fetch are single-axis row gathers (a first version used a
-        # two-axis advanced-indexing gather for the candidates and
-        # measured 60 ms/batch — XLA lowered it element-wise)
-        blocks = out.reshape(g_max * qt * nblk, bs)
-        bmax = blocks.max(axis=-1).reshape(g_max * qt, nblk)
-        pbm = bmax[pair_slot]  # [P, nblk] — cap/BS x less gather traffic
+        # the kernel emits the block maxima alongside the scores (reading
+        # them back from HBM — or reshaping cap into (nblk, BS), which
+        # re-tiles the lane dim and COPIES the whole grid — both cost far
+        # more; the copy OOM'd the 10M config). Gathers: pbm is a plain
+        # row gather; the candidate fetch is a lax.gather of (1, BS)
+        # slices — two-axis advanced indexing lowered element-wise and
+        # measured 60 ms/batch.
+        pbm = bmax.reshape(g_max * qt, nblk)[pair_slot]  # [P, nblk]
         if probe_valid is not None:
             pbm = jnp.where(probe_valid.reshape(p, 1), pbm, cosine.NEG_INF)
         _, bpos = jax.lax.top_k(pbm.reshape(b, nprobe * nblk), k_eff)
@@ -491,7 +519,20 @@ def _grouped_scan(
         rowsel = jnp.take_along_axis(
             pair_slot.reshape(b, nprobe), probe_j, axis=-1
         )
-        cand = blocks[rowsel * nblk + blk_i]  # [B, k_eff, BS] row gather
+        starts = jnp.stack(
+            [rowsel, blk_i * bs], axis=-1
+        ).reshape(b * k_eff, 2)
+        cand = jax.lax.gather(
+            out.reshape(g_max * qt, cap),  # major-dim collapse: free
+            starts,
+            jax.lax.GatherDimensionNumbers(
+                offset_dims=(1,),
+                collapsed_slice_dims=(0,),
+                start_index_map=(0, 1),
+            ),
+            slice_sizes=(1, bs),
+            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+        ).reshape(b, k_eff, bs)
         if probe_valid is not None:
             vsel = jnp.take_along_axis(
                 probe_valid.reshape(b, nprobe), probe_j, axis=-1
