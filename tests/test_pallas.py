@@ -205,6 +205,34 @@ def test_blockexact_matches_xla_high_nprobe(nprobe):
     assert np.array_equal(np.asarray(i_pal), np.asarray(i_ref))
 
 
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_blockexact_equals_flat_random(seed):
+    """Property pin: blockexact and flat/exact are the same reduction
+    (identical scores AND slots) across random geometries — batch sizes,
+    nprobe, k — on both sides of the prefilter-pays gate."""
+    rng = np.random.default_rng(seed)
+    k_clusters = int(rng.integers(8, 40))
+    ivf, v = make_ivf(n_per=int(rng.integers(10, 60)), k=k_clusters)
+    b = int(rng.integers(1, 9))
+    nprobe = int(rng.integers(1, k_clusters + 1))
+    kq = int(rng.integers(1, 17))
+    q = jnp.asarray(v[rng.integers(0, len(v), size=b)] + 0.01, jnp.float32)
+    outs = [
+        ivf_scan_pallas(
+            q, ivf.centroids_n, ivf.buckets, ivf.counts_dev,
+            ivf.bucket_mask, nprobe=nprobe, k=kq, interpret=True,
+            epilogue=epi, approx=False,
+        )
+        for epi in ("flat", "blockexact")
+    ]
+    np.testing.assert_array_equal(
+        np.asarray(outs[0][0]), np.asarray(outs[1][0])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(outs[0][1]), np.asarray(outs[1][1])
+    )
+
+
 def test_blockexact_probe_valid_masking():
     """Sharded path: probe entries masked via probe_valid must never
     surface — neither through the block-max ranking nor through the

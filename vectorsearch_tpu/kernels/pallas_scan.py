@@ -333,8 +333,10 @@ def _grouped_scan(
     bv = (buckets.offset * buckets.inv_norm).reshape(kk, 1, cap)
     bias = jnp.where(valid, 0.0, cosine.NEG_INF).reshape(kk, 1, cap)
 
-    # block size for the blockexact prefilter maxima (cap is always a
-    # BUCKET_ROUND=64 multiple, so 64 covers every non-128-divisible tile)
+    # block size for the blockexact prefilter maxima. In production
+    # cap % 1024 == 0 (constants.BUCKET_ROUND) so bs=128 always; the 64
+    # fallback serves tests that monkeypatch BUCKET_ROUND=64 (interpret
+    # mode — a real-TPU (1, qt, 1) bmax block would be degenerate)
     bs = 128 if tile % 128 == 0 else 64
     nblk_tile = tile // bs
     nblk = cap // bs
