@@ -83,6 +83,17 @@ def _approx_wide() -> int:
     return int(os.environ.get("VSTPU_APPROX_WIDE", 1))
 
 
+def _bmax_xla() -> bool:
+    """VSTPU_BMAX_XLA=1: compute the blockexact prefilter maxima with an
+    XLA reduce_window over the score grid instead of inside the Pallas
+    kernel (copy-free but one extra HBM read of the grid) — the escape
+    hatch if a toolchain rejects the in-kernel reshape+reduce. Resolved
+    OUTSIDE jit so the choice is part of the trace cache key."""
+    import os
+
+    return os.environ.get("VSTPU_BMAX_XLA") == "1"
+
+
 def _next_pow2(x: int) -> int:
     n = 1
     while n < x:
@@ -99,7 +110,11 @@ def _make_grouped_kernel(nblk_tile: int, bs: int):
     full HBM re-read of the score grid, and any host-side reshape of cap
     into (nblk, 128) re-tiles the lane dimension, which XLA materializes
     as a physical COPY of the whole grid (the copy OOM'd the 10M config
-    where codes already hold 15.5 of 16 GB HBM)."""
+    where codes already hold 15.5 of 16 GB HBM).
+
+    VSTPU_BMAX_XLA=1 moves the reduce outside the kernel as a
+    lax.reduce_window over the grid (copy-free but one extra HBM read)
+    — the escape hatch if a toolchain rejects the in-kernel reshape."""
 
     def kernel(
         # scalar prefetch
@@ -113,7 +128,7 @@ def _make_grouped_kernel(nblk_tile: int, bs: int):
         bias_ref,  # f32 [1, 1, TILE] 0 live / -inf dead
         # outputs
         out_ref,  # f32 [1, QT, TILE]
-        bmax_ref,  # f32 [1, QT, TILE//BS]
+        bmax_ref=None,  # f32 [1, QT, TILE//BS] (absent when bmax_xla)
     ):
         q = qg_ref[0]  # [QT, D] bf16
         codes = codes_ref[0].astype(jnp.bfloat16)  # [TILE, D]
@@ -125,8 +140,9 @@ def _make_grouped_kernel(nblk_tile: int, bs: int):
         )  # [QT, TILE] on the MXU
         scores = dots * a_ref[0] + qsum_ref[0] * bv_ref[0] + bias_ref[0]
         out_ref[0] = scores
-        qt = scores.shape[0]
-        bmax_ref[0] = scores.reshape(qt, nblk_tile, bs).max(axis=-1)
+        if bmax_ref is not None:
+            qt = scores.shape[0]
+            bmax_ref[0] = scores.reshape(qt, nblk_tile, bs).max(axis=-1)
 
     return kernel
 
@@ -146,6 +162,7 @@ def ivf_scan_pallas(
     approx_recall: float = 0.98,
     approx_wide: int | None = None,
     debug_phase: str = "full",
+    bmax_xla: bool | None = None,
 ):
     """Drop-in replacement for index.ivf._ivf_scan (same signature/returns).
 
@@ -159,11 +176,14 @@ def ivf_scan_pallas(
         epilogue = _default_epilogue()
     if approx_wide is None:
         approx_wide = _approx_wide()
+    if bmax_xla is None:
+        bmax_xla = _bmax_xla()
     return _ivf_scan_pallas(
         queries, centroids_n, buckets, counts, bucket_mask,
         nprobe=nprobe, k=k, interpret=interpret, approx=approx,
         qt_max=qt_max, epilogue=epilogue, approx_recall=approx_recall,
         approx_wide=approx_wide, debug_phase=debug_phase,
+        bmax_xla=bmax_xla,
     )
 
 
@@ -180,6 +200,7 @@ def ivf_scan_pallas_probed(
     qt_max: int | None = None,
     epilogue: str | None = None,
     approx_wide: int | None = None,
+    bmax_xla: bool | None = None,
 ):
     """Grouped scan over an EXPLICIT probe list — the Pallas counterpart
     of index.ivf._scan_probed (same signature/returns). This is what the
@@ -195,12 +216,14 @@ def ivf_scan_pallas_probed(
         epilogue = _default_epilogue()
     if approx_wide is None:
         approx_wide = _approx_wide()
+    if bmax_xla is None:
+        bmax_xla = _bmax_xla()
     qn = cosine.l2_normalize(queries.astype(jnp.float32))
     qsum = jnp.sum(qn, axis=-1)
     return _grouped_scan(
         qn, qsum, buckets, counts, bucket_mask, probed, probe_valid, k,
         interpret=interpret, approx=approx, qt_max=qt_max, epilogue=epilogue,
-        approx_wide=approx_wide,
+        approx_wide=approx_wide, bmax_xla=bmax_xla,
     )
 
 
@@ -208,7 +231,7 @@ def ivf_scan_pallas_probed(
     jax.jit,
     static_argnames=(
         "nprobe", "k", "interpret", "approx", "qt_max", "epilogue",
-        "approx_recall", "approx_wide", "debug_phase",
+        "approx_recall", "approx_wide", "debug_phase", "bmax_xla",
     ),
 )
 def _ivf_scan_pallas(
@@ -226,6 +249,7 @@ def _ivf_scan_pallas(
     approx_recall: float = 0.98,
     approx_wide: int = 1,
     debug_phase: str = "full",
+    bmax_xla: bool = False,
 ):
     kk = buckets.codes.shape[0]
     nprobe = max(1, min(nprobe, kk))
@@ -241,7 +265,7 @@ def _ivf_scan_pallas(
         qn, qsum, buckets, counts, bucket_mask, probed, None, k,
         interpret=interpret, approx=approx, qt_max=qt_max, epilogue=epilogue,
         approx_recall=approx_recall, approx_wide=approx_wide,
-        debug_phase=debug_phase,
+        debug_phase=debug_phase, bmax_xla=bmax_xla,
     )
 
 
@@ -261,6 +285,7 @@ def _grouped_scan(
     approx_recall: float = 0.98,
     approx_wide: int = 1,
     debug_phase: str = "full",
+    bmax_xla: bool = False,
 ):
     """debug_phase (perf instrumentation, tools/ivf_perf_probe.py only):
     "groups" stops after group building, "kernel" after the pallas call —
@@ -344,6 +369,17 @@ def _grouped_scan(
     row_spec = pl.BlockSpec(
         (1, 1, tile), lambda t_, g_, gcl: (gcl[g_], 0, t_)
     )
+    out_specs = [
+        pl.BlockSpec((1, qt, tile), lambda t_, g_, gcl: (g_, 0, t_)),
+    ]
+    out_shape = [jax.ShapeDtypeStruct((g_max, qt, cap), jnp.float32)]
+    if not bmax_xla:
+        out_specs.append(
+            pl.BlockSpec((1, qt, nblk_tile), lambda t_, g_, gcl: (g_, 0, t_))
+        )
+        out_shape.append(
+            jax.ShapeDtypeStruct((g_max, qt, nblk), jnp.float32)
+        )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         # groups fastest: unused tail groups hit the same (0, t) codes
@@ -359,22 +395,26 @@ def _grouped_scan(
             row_spec,
             row_spec,
         ],
-        out_specs=[
-            pl.BlockSpec((1, qt, tile), lambda t_, g_, gcl: (g_, 0, t_)),
-            pl.BlockSpec(
-                (1, qt, nblk_tile), lambda t_, g_, gcl: (g_, 0, t_)
-            ),
-        ],
+        out_specs=out_specs,
     )
-    out, bmax = pl.pallas_call(
+    outs = pl.pallas_call(
         _make_grouped_kernel(nblk_tile, bs),
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((g_max, qt, cap), jnp.float32),
-            jax.ShapeDtypeStruct((g_max, qt, nblk), jnp.float32),
-        ],
+        out_shape=out_shape,
         interpret=interpret,
     )(grp_cluster, qg, qsum_g, buckets.codes, a, bv, bias)
+    if bmax_xla:
+        (out,) = outs
+        # copy-free XLA fallback: windowed max over the native layout
+        # (one extra HBM read of the grid; never a lane re-tile reshape)
+        bmax = jax.lax.reduce_window(
+            out, -jnp.inf, jax.lax.max,
+            window_dimensions=(1, 1, bs),
+            window_strides=(1, 1, bs),
+            padding="VALID",
+        )
+    else:
+        out, bmax = outs
     if debug_phase == "kernel":
         chk = out.sum().reshape(1, 1)
         return chk, chk
