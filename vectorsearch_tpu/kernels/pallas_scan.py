@@ -373,7 +373,10 @@ def _grouped_scan(
         pl.BlockSpec((1, qt, tile), lambda t_, g_, gcl: (g_, 0, t_)),
     ]
     out_shape = [jax.ShapeDtypeStruct((g_max, qt, cap), jnp.float32)]
-    if not bmax_xla:
+    # only blockexact consumes the maxima; pallas outputs cannot be
+    # DCE'd, so other epilogues must not pay the extra write
+    need_bmax = epilogue == "blockexact" and not bmax_xla
+    if need_bmax:
         out_specs.append(
             pl.BlockSpec((1, qt, nblk_tile), lambda t_, g_, gcl: (g_, 0, t_))
         )
@@ -403,18 +406,11 @@ def _grouped_scan(
         out_shape=out_shape,
         interpret=interpret,
     )(grp_cluster, qg, qsum_g, buckets.codes, a, bv, bias)
-    if bmax_xla:
-        (out,) = outs
-        # copy-free XLA fallback: windowed max over the native layout
-        # (one extra HBM read of the grid; never a lane re-tile reshape)
-        bmax = jax.lax.reduce_window(
-            out, -jnp.inf, jax.lax.max,
-            window_dimensions=(1, 1, bs),
-            window_strides=(1, 1, bs),
-            padding="VALID",
-        )
-    else:
+    if need_bmax:
         out, bmax = outs
+    else:
+        (out,) = outs
+        bmax = None  # blockexact+bmax_xla computes it lazily in-branch
     if debug_phase == "kernel":
         chk = out.sum().reshape(1, 1)
         return chk, chk
@@ -552,6 +548,15 @@ def _grouped_scan(
         # row gather; the candidate fetch is a lax.gather of (1, BS)
         # slices — two-axis advanced indexing lowered element-wise and
         # measured 60 ms/batch.
+        if bmax is None:
+            # VSTPU_BMAX_XLA fallback: windowed max over the native
+            # layout (one extra HBM read; never a lane re-tile reshape)
+            bmax = jax.lax.reduce_window(
+                out, -jnp.inf, jax.lax.max,
+                window_dimensions=(1, 1, bs),
+                window_strides=(1, 1, bs),
+                padding="VALID",
+            )
         pbm = bmax.reshape(g_max * qt, nblk)[pair_slot]  # [P, nblk]
         if probe_valid is not None:
             pbm = jnp.where(probe_valid.reshape(p, 1), pbm, cosine.NEG_INF)
