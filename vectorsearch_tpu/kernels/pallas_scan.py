@@ -338,10 +338,27 @@ def _grouped_scan(
     gid = jnp.cumsum(new_group.astype(jnp.int32)) - 1  # [P]
     slot = rank % qt
 
-    grp_cluster = jnp.zeros((g_max,), jnp.int32).at[gid].set(sc)
-    qidx = jnp.zeros((g_max, qt), jnp.int32).at[gid, slot].set(sq)
+    pc = gid * qt + slot  # strictly increasing over sorted pairs
+    # scatter hints: pc is sorted+unique; group starts are unique gids
+    # (non-starts scatter to DISTINCT out-of-bounds slots g_max+i so the
+    # unique-indices promise holds even for dropped updates); order is a
+    # permutation (unique). Unhinted 2-D scatters serialize on TPU.
+    start_idx = jnp.where(new_group, gid, g_max + idx)
+    grp_cluster = (
+        jnp.zeros((g_max,), jnp.int32)
+        .at[start_idx]
+        .set(sc, mode="drop", unique_indices=True)
+    )
+    qidx = (
+        jnp.zeros((g_max * qt,), jnp.int32)
+        .at[pc]
+        .set(sq, indices_are_sorted=True, unique_indices=True)
+        .reshape(g_max, qt)
+    )
     # inverse permutation: flat pair index -> (group, slot) score row
-    pair_slot = jnp.zeros((p,), jnp.int32).at[order].set(gid * qt + slot)
+    pair_slot = jnp.zeros((p,), jnp.int32).at[order].set(
+        pc, unique_indices=True
+    )
 
     qg = qn.astype(jnp.bfloat16)[qidx]  # [G, QT, D]
     qsum_g = qsum[qidx][..., None]  # [G, QT, 1]
