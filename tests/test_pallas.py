@@ -234,21 +234,24 @@ def test_blockexact_equals_flat_random(seed):
 
 
 def test_blockexact_bmax_xla_fallback(monkeypatch):
-    """VSTPU_BMAX_XLA=1 computes the prefilter maxima with reduce_window
-    instead of in-kernel: identical results (it is the same reduction)."""
+    """The prefilter maxima computed in-kernel (VSTPU_BMAX_XLA=0) and via
+    XLA reduce_window (=1) are the same reduction: identical results."""
     ivf, v = make_ivf(n_per=40, k=32)
     q = jnp.asarray(v[:5] + 0.01, jnp.float32)
-    base = ivf_scan_pallas(
-        q, ivf.centroids_n, ivf.buckets, ivf.counts_dev, ivf.bucket_mask,
-        nprobe=32, k=8, interpret=True, epilogue="blockexact",
+    outs = {}
+    for flag in ("0", "1"):
+        monkeypatch.setenv("VSTPU_BMAX_XLA", flag)
+        outs[flag] = ivf_scan_pallas(
+            q, ivf.centroids_n, ivf.buckets, ivf.counts_dev,
+            ivf.bucket_mask, nprobe=32, k=8, interpret=True,
+            epilogue="blockexact",
+        )
+    np.testing.assert_array_equal(
+        np.asarray(outs["0"][0]), np.asarray(outs["1"][0])
     )
-    monkeypatch.setenv("VSTPU_BMAX_XLA", "1")
-    alt = ivf_scan_pallas(
-        q, ivf.centroids_n, ivf.buckets, ivf.counts_dev, ivf.bucket_mask,
-        nprobe=32, k=8, interpret=True, epilogue="blockexact",
+    np.testing.assert_array_equal(
+        np.asarray(outs["0"][1]), np.asarray(outs["1"][1])
     )
-    np.testing.assert_array_equal(np.asarray(base[0]), np.asarray(alt[0]))
-    np.testing.assert_array_equal(np.asarray(base[1]), np.asarray(alt[1]))
 
 
 def test_blockexact_probe_valid_masking():

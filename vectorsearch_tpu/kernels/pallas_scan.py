@@ -84,14 +84,18 @@ def _approx_wide() -> int:
 
 
 def _bmax_xla() -> bool:
-    """VSTPU_BMAX_XLA=1: compute the blockexact prefilter maxima with an
-    XLA reduce_window over the score grid instead of inside the Pallas
-    kernel (copy-free but one extra HBM read of the grid) — the escape
-    hatch if a toolchain rejects the in-kernel reshape+reduce. Resolved
-    OUTSIDE jit so the choice is part of the trace cache key."""
+    """Where the blockexact prefilter maxima come from: an XLA
+    reduce_window over the score grid (copy-free, one extra HBM read —
+    guaranteed to compile) or the Pallas kernel's second output (free:
+    reduced while the tile is in VMEM). VSTPU_BMAX_XLA=0 selects the
+    in-kernel path; it currently DEFAULTS to the XLA path because the
+    in-kernel reshape+reduce has not yet been compiled on the real
+    Mosaic toolchain (tunnel outage) — flip the default once a real-TPU
+    run validates it. Resolved OUTSIDE jit so the choice is part of the
+    trace cache key."""
     import os
 
-    return os.environ.get("VSTPU_BMAX_XLA") == "1"
+    return os.environ.get("VSTPU_BMAX_XLA", "1") == "1"
 
 
 def _next_pow2(x: int) -> int:
