@@ -254,7 +254,10 @@ def main(argv: list[str]) -> int:
     # stall and serialize boot (CLAUDE.md: put host-only work right after
     # the warm-up, device-synchronous work as late as possible)
     preftest()
-    engine = Engine(store, ai, snapshot_dir=cfg.database.snapshots, mesh=mesh)
+    engine = Engine(
+        store, ai, snapshot_dir=cfg.database.snapshots, mesh=mesh,
+        warm_nprobes=cfg.server.warm_nprobes,
+    )
 
     # one-shot background index refresh at startup (reference: main.go:92),
     # preceded by jit warmup of the serving shapes

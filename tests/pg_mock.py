@@ -43,12 +43,16 @@ class MockPg:
         user: str = "u",
         password: str = "pw",
         ssl_context=None,
+        parameters: dict | None = None,
     ):
         """ssl_context: a server-side SSLContext makes the mock accept
         SSLRequest with 'S' and wrap the connection (like a TLS-enabled
         postgres); None answers 'N' (SSL off)."""
         assert auth in ("trust", "cleartext", "md5", "scram")
         self.auth = auth
+        # extra ParameterStatus entries sent after auth (e.g. a server
+        # with standard_conforming_strings=off)
+        self.parameters = dict(parameters or {})
         self.ssl_context = ssl_context
         self.user = user
         self.password = password
@@ -145,6 +149,8 @@ class MockPg:
             if not self._auth(send, recv_msg):
                 return
             send(b"S", b"server_version\x00mock-16\x00")
+            for k, v in self.parameters.items():
+                send(b"S", k.encode() + b"\x00" + v.encode() + b"\x00")
             send(b"K", struct.pack("!II", 1, 2))
             send(b"Z", b"I")
 

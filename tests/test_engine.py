@@ -310,6 +310,51 @@ def test_warmup_noop_and_compile(engine):
     assert hits
 
 
+def test_warmup_malformed_env_degrades(engine, monkeypatch):
+    """ADVICE r3: a malformed VSTPU_WARM_NPROBES must degrade to the
+    default with a warning, not raise out of boot."""
+    engine.upload("alice", "docs", FRUIT_DOCS[:1])
+    monkeypatch.setenv("VSTPU_WARM_NPROBES", "1;8")
+    engine.warmup()  # must not raise
+
+
+def test_warmup_config_nprobes(tmp_path, monkeypatch):
+    """VERDICT r3 #7: the config file's warm_nprobes drives warmup; env
+    overrides config."""
+    from vectorsearch_tpu.config import Config
+
+    cfg = Config.parse(
+        '{"server": {"warm_nprobes": [1, 8]}}'
+    )
+    assert cfg.server.warm_nprobes == (1, 8)
+    # round-trips through to_dict
+    assert Config.parse(
+        __import__("json").dumps(cfg.to_dict())
+    ).server.warm_nprobes == (1, 8)
+
+    store = Store(":memory:")
+    eng = Engine(store, WordHashAI(), warm_nprobes=cfg.server.warm_nprobes)
+    eng.upload("alice", "docs", FRUIT_DOCS)
+    seen = []
+    orig = type(eng._states[1].ivf).search
+
+    def spy(self, q, k, nprobe=1, refine=0):
+        seen.append(nprobe)
+        return orig(self, q, k, nprobe=nprobe, refine=refine)
+
+    monkeypatch.setattr(type(eng._states[1].ivf), "search", spy)
+    eng.warmup()
+    # config asked for both widths (clamped inside search as needed)
+    assert {1, 8} <= set(seen)
+    # env override wins over config
+    seen.clear()
+    monkeypatch.setenv("VSTPU_WARM_NPROBES", "1")
+    eng.warmup()
+    assert set(seen) == {1}
+    eng.close()
+    store.close()
+
+
 def test_upload_right_after_missed_search(tmp_path):
     """A search for a missing owner must not poison the cache with None:
     an upload inside the TTL window then creates the owner normally."""

@@ -64,6 +64,28 @@ def test_wrong_password_rejected(auth):
         mock.close()
 
 
+def test_nonconforming_strings_server_refused():
+    """escape_literal relies on standard_conforming_strings=on; a server
+    reporting 'off' must be refused at startup (backslashes in
+    user-controlled strings would otherwise escape the literal)."""
+    mock = MockPg(parameters={"standard_conforming_strings": "off"})
+    try:
+        with pytest.raises(PgError, match="standard_conforming_strings"):
+            PgConnection(mock.dsn)
+    finally:
+        mock.close()
+
+
+def test_conforming_strings_on_accepted():
+    mock = MockPg(parameters={"standard_conforming_strings": "on"})
+    try:
+        conn = PgConnection(mock.dsn)
+        assert conn.parameters["standard_conforming_strings"] == "on"
+        conn.close()
+    finally:
+        mock.close()
+
+
 def test_query_roundtrip_types():
     mock = MockPg()
     mock.on(

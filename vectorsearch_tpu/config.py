@@ -170,6 +170,12 @@ class TLSConfig:
 class ServerConfig:
     http_address: str = ":7500"
     https_address: str = ":7501"
+    # Probe widths Engine.warmup precompiles at boot so the first real
+    # request at the deployment's serving nprobe pays no jit latency
+    # (each pair is a 30-120s remote-tunnel compile). Empty = auto:
+    # (1,) per category, (1, 8) above ~1M rows. TPU-native addition —
+    # the reference has no compilation step to warm.
+    warm_nprobes: tuple = ()
 
     @staticmethod
     def parse(d: dict | None) -> "ServerConfig":
@@ -177,12 +183,16 @@ class ServerConfig:
         return ServerConfig(
             http_address=d.get("http_address", ":7500"),
             https_address=d.get("https_address", ":7501"),
+            warm_nprobes=tuple(
+                int(x) for x in d.get("warm_nprobes", ())
+            ),
         )
 
     def to_dict(self) -> dict:
         return {
             "http_address": self.http_address,
             "https_address": self.https_address,
+            "warm_nprobes": list(self.warm_nprobes),
         }
 
 

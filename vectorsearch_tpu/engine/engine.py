@@ -171,16 +171,22 @@ class Engine:
         snapshot_dir: str | None = None,
         cache: EngineCache | None = None,
         mesh=None,
+        warm_nprobes: tuple[int, ...] | None = None,
     ):
         """`mesh`: optional jax.sharding.Mesh — when set, index rebuilds
         also produce a cluster-sharded read replica (parallel/sharded.py)
-        that searches use until the next mutation."""
+        that searches use until the next mutation.
+
+        `warm_nprobes`: the deployment's serving probe widths from the
+        config file ("server.warm_nprobes"); warmup() precompiles these.
+        None = auto per category (see warmup)."""
         import uuid
 
         self.store = store
         self.ai = ai
         self.snapshot_dir = snapshot_dir
         self.mesh = mesh
+        self.warm_nprobes = tuple(warm_nprobes) if warm_nprobes else None
         self.cache = cache or EngineCache()
         self.cache.start()
         self._batcher = QueryBatcher()
@@ -232,7 +238,14 @@ class Engine:
                 if ivf is not None and ivf.n_live > 0 and dirty:
                     try:
                         self._save_snapshot(cid, ivf, cent_ids, doc_map)
-                        st.dirty = False
+                        # clear dirty under the lock, and only if the ivf
+                        # we snapshotted is still current (same CAS
+                        # pattern as the rebuild path): an upload/delete
+                        # racing shutdown must not be marked clean, or
+                        # its rows are silently absent from the snapshot
+                        with st.lock:
+                            if st.ivf is ivf:
+                                st.dirty = False
                     except Exception as e:
                         sugar().warning("snapshot of category %d failed: %s", cid, e)
         self.cache.close()
@@ -1281,21 +1294,39 @@ class Engine:
         instead; our cold cost is compilation). Safe no-op on empty state.
 
         `nprobes`: which probe widths to precompile (nprobe is a static
-        shape parameter). Default (1,) — the reference's default request —
-        or VSTPU_WARM_NPROBES="1,8" for deployments that serve at higher
-        nprobe (each extra (batch-class, nprobe) pair is one compile,
-        30-120s through the remote tunnel, one-time per process)."""
+        shape parameter). Resolution order: explicit arg >
+        VSTPU_WARM_NPROBES env override > config "server.warm_nprobes"
+        (Engine(warm_nprobes=...)) > auto per category — (1,) for small
+        categories, (1, 8) above ~1M live rows where nprobe=8 is the
+        documented recall-floor serving config. Each extra
+        (batch-class, nprobe) pair is one compile, 30-120s through the
+        remote tunnel, one-time per process."""
         import os
 
         if nprobes is None:
-            env = os.environ.get("VSTPU_WARM_NPROBES", "1")
-            nprobes = tuple(int(x) for x in env.split(",") if x.strip())
+            env = os.environ.get("VSTPU_WARM_NPROBES", "")
+            if env.strip():
+                # a malformed env value must degrade like every other
+                # warmup failure, not raise out of boot
+                try:
+                    nprobes = tuple(
+                        int(x) for x in env.split(",") if x.strip()
+                    ) or None
+                except ValueError:
+                    sugar().warning(
+                        "ignoring malformed VSTPU_WARM_NPROBES=%r", env
+                    )
+            if nprobes is None:
+                nprobes = self.warm_nprobes  # config; may still be None
         with self._states_lock:
             states = list(self._states.values())
         for st in states:
             ivf = st.ivf
             if ivf is None or ivf.n_live == 0:
                 continue
+            cat_nprobes = nprobes or (
+                (1, 8) if ivf.n_live > 1_000_000 else (1,)
+            )
             try:
                 from .batcher import BATCH_CLASSES
 
@@ -1314,12 +1345,12 @@ class Engine:
                 for b in classes:
                     dummy = np.zeros((b, ivf.dim), np.float32)
                     dummy[:, 0] = 1.0
-                    for nprobe in nprobes:
+                    for nprobe in cat_nprobes:
                         ivf.search(dummy, k=k, nprobe=nprobe, refine=k)
                 sugar().info(
                     "warmed category %d (dim %d, k=%d, batch classes %s, "
                     "nprobes %s)",
-                    st.category_id, ivf.dim, k, classes, list(nprobes),
+                    st.category_id, ivf.dim, k, classes, list(cat_nprobes),
                 )
             except Exception as e:
                 sugar().warning("warmup failed for %d: %s", st.category_id, e)

@@ -384,6 +384,15 @@ def _grouped_scan(
     # fallback serves tests that monkeypatch BUCKET_ROUND=64 (interpret
     # mode — a real-TPU (1, qt, 1) bmax block would be degenerate)
     bs = 128 if tile % 128 == 0 else 64
+    # a cap that is not a whole number of blocks would make the XLA
+    # reduce_window (padding='VALID') prefilter silently drop the tail
+    # partial block — losing true top-k winners with no error. Guaranteed
+    # by BUCKET_ROUND in production; fail loudly on a bad geometry.
+    if epilogue == "blockexact" and cap % bs != 0:
+        raise ValueError(
+            f"bucket cap {cap} is not a multiple of the blockexact block "
+            f"size {bs} (tile={tile}); pad cap to BUCKET_ROUND"
+        )
     nblk_tile = tile // bs
     nblk = cap // bs
 

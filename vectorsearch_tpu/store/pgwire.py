@@ -300,6 +300,20 @@ class PgConnection:
             elif t == b"K":  # BackendKeyData
                 self._backend_key = struct.unpack("!II", body)
             elif t == b"Z":  # ReadyForQuery
+                # escape_literal doubles quotes but not backslashes, which
+                # is only safe under standard_conforming_strings=on (the
+                # Postgres default since 9.1). The server reports the
+                # effective value via ParameterStatus; refuse a server
+                # configured otherwise rather than risk injection through
+                # backslashes in user-controlled strings.
+                scs = self.parameters.get("standard_conforming_strings", "on")
+                if scs != "on":
+                    self._sock.close()
+                    raise PgError({
+                        "M": "server has standard_conforming_strings="
+                        f"{scs}; this client requires 'on' for safe "
+                        "literal escaping"
+                    })
                 return
             elif t == b"N":  # NoticeResponse
                 continue
