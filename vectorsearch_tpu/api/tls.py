@@ -43,15 +43,25 @@ def _local_sans(extra_dns: list[str], extra_ips: list[str]):
 
 
 def generate_self_signed(
-    dns_names: list[str] | None = None, ip_addrs: list[str] | None = None
+    dns_names: list[str] | None = None,
+    ip_addrs: list[str] | None = None,
+    key_type: str = "ecdsa",
 ) -> tuple[bytes, bytes]:
-    """Returns (cert_pem, key_pem)."""
+    """Returns (cert_pem, key_pem). `key_type`: "ecdsa" (P-384, matching
+    generateCertificateECDSA) or "rsa" (2048, matching
+    generateCertificateRSA) — the reference self-signs BOTH and lets the
+    TLS stack pick by client support (config/config_tls.go:125-174)."""
     if not HAVE_CRYPTO:
         raise RuntimeError("cryptography not available for self-signed certs")
     import ipaddress
 
     dns, ips = _local_sans(dns_names or [], ip_addrs or [])
-    key = ec.generate_private_key(ec.SECP384R1())
+    if key_type == "rsa":
+        from cryptography.hazmat.primitives.asymmetric import rsa
+
+        key = rsa.generate_private_key(public_exponent=65537, key_size=2048)
+    else:
+        key = ec.generate_private_key(ec.SECP384R1())
     name = x509.Name(
         [x509.NameAttribute(NameOID.COMMON_NAME, "vectorsearch-tpu")]
     )
@@ -103,17 +113,30 @@ class TLSManager:
             for pair in certs:
                 ctx.load_cert_chain(pair["certificate"], pair["key"])
         else:
-            cert_pem, key_pem = generate_self_signed(
-                self.cfg.domain_name_server if self.cfg else [],
-                self.cfg.ip if self.cfg else [],
-            )
-            cert_path = os.path.join(self._dir, "cert.pem")
-            key_path = os.path.join(self._dir, "key.pem")
-            with open(cert_path, "wb") as f:
-                f.write(cert_pem)
-            with open(key_path, "wb") as f:
-                f.write(key_pem)
-            ctx.load_cert_chain(cert_path, key_path)
+            # self-sign BOTH an ECDSA and an RSA pair like the reference
+            # (config/config_tls.go:125-174): OpenSSL holds one cert per
+            # key type in a context and serves whichever the client's
+            # cipher suites support (RSA covers ancient clients). An RSA
+            # generation failure degrades to ECDSA-only with a warning.
+            for key_type in ("ecdsa", "rsa"):
+                try:
+                    cert_pem, key_pem = generate_self_signed(
+                        self.cfg.domain_name_server if self.cfg else [],
+                        self.cfg.ip if self.cfg else [],
+                        key_type=key_type,
+                    )
+                except Exception as e:
+                    if key_type == "ecdsa":
+                        raise  # primary pair: reload() keeps the old ctx
+                    sugar().warning("RSA self-signed generation failed: %s", e)
+                    continue
+                cert_path = os.path.join(self._dir, f"cert-{key_type}.pem")
+                key_path = os.path.join(self._dir, f"key-{key_type}.pem")
+                with open(cert_path, "wb") as f:
+                    f.write(cert_pem)
+                with open(key_path, "wb") as f:
+                    f.write(key_pem)
+                ctx.load_cert_chain(cert_path, key_path)
         # advertise h2 ahead of http/1.1 (reference: main.go:111 NextProtos);
         # the TLS listener ALPN-muxes in api/h2.py
         try:
