@@ -18,6 +18,7 @@ in-process analogue of the reference's Postgres SHARE NOWAIT row lock
 """
 from __future__ import annotations
 
+import contextlib
 import functools
 import threading
 from dataclasses import dataclass, field
@@ -68,6 +69,11 @@ def _process_rss() -> int | None:
     except OSError:
         pass
     return None
+
+
+# spill rows below this never trigger a post-upload re-pack (the re-pack
+# pays a full bucket rebuild; tiny spills are cheaper to scan alongside)
+COMPACT_MIN_SPILL = 1024
 
 
 def _device_hbm_budget() -> int | None:
@@ -138,6 +144,40 @@ class CategoryState:
     # categories — clean ones were already saved from host arrays at
     # boot/rebuild time, where no device read-back is needed at all
     dirty: bool = False
+    # frozen-store re-pack gate: searches are lock-free snapshot reads,
+    # but the sequenced re-pack must FREE the old device buckets before
+    # uploading the new layout (the HBM budget cannot hold two copies) —
+    # it closes this gate, waits for in-flight dispatches, swaps, and
+    # reopens. Searches block briefly instead of crashing on deleted
+    # buffers. gate starts OPEN.
+    gate: threading.Event = field(default_factory=threading.Event)
+    inflight: int = 0
+    inflight_cv: threading.Condition = field(
+        default_factory=threading.Condition
+    )
+
+    def __post_init__(self):
+        self.gate.set()
+
+    @contextlib.contextmanager
+    def search_pass(self):
+        """Device-dispatch guard for searches. Blocks while a sequenced
+        re-pack holds the gate closed; otherwise counts the dispatch so
+        the re-pack can wait for in-flight work. Callers MUST re-read
+        self.ivf/self.sharded INSIDE this context — a reference captured
+        before the gap may point at freed device buffers."""
+        while True:
+            self.gate.wait()
+            with self.inflight_cv:
+                if self.gate.is_set():
+                    self.inflight += 1
+                    break
+        try:
+            yield
+        finally:
+            with self.inflight_cv:
+                self.inflight -= 1
+                self.inflight_cv.notify_all()
 
 
 @dataclass
@@ -808,22 +848,84 @@ class Engine:
         #    failure here must NOT fail the (already indexed) uploads.
         try:
             spill = state.ivf.spill.live
-            if (
-                spill > 1024
-                and spill > state.ivf.n_live // 10
-                and not state.ivf.frozen
-                # a frozen store cannot re-pack (the rebuild holds two
-                # copies); its spill is drained by the next full rebuild
-            ):
-                sugar().info(
-                    "category %d spill %d rows: compacting buckets",
-                    category_id, spill,
-                )
-                state.ivf = state.ivf.compact(
-                    hbm_budget=self._budget_for(category_id)
-                )
+            if spill > COMPACT_MIN_SPILL and spill > state.ivf.n_live // 10:
+                if state.ivf.frozen:
+                    # a frozen store cannot re-pack functionally (the
+                    # budget can't hold two copies): sequenced re-pack —
+                    # stage host-side, free old buckets, upload new
+                    # (VERDICT r3 #5; brief serving gap behind the gate)
+                    self._compact_frozen(state, category_id)
+                else:
+                    sugar().info(
+                        "category %d spill %d rows: compacting buckets",
+                        category_id, spill,
+                    )
+                    state.ivf = state.ivf.compact(
+                        hbm_budget=self._budget_for(category_id)
+                    )
         except Exception as e:
             sugar().warning("post-upload compaction failed: %s", e)
+
+    def _compact_frozen(self, state: CategoryState, category_id: int):
+        """Sequenced re-pack for a frozen (HBM-limit) category: the budget
+        cannot hold two copies of the bucket store, so the functional
+        compact() is impossible. Instead (VERDICT r3 next-step #5):
+
+          1. stage every live row host-side (chunked device reads —
+             searches still serve during this, the slow part),
+          2. close the search gate and wait out in-flight dispatches,
+          3. FREE the old device buckets (release_device),
+          4. build + upload the new layout into the freed budget,
+          5. swap and reopen the gate.
+
+        The serving gap is steps 3-4 (host pack + H2D upload); searches
+        block on the gate rather than fail. The reference never degrades
+        this way because SQL is its store (upload.go:240-246) — this is
+        the HBM-resident equivalent of its periodic re-index. Caller
+        holds state.lock (no concurrent mutations)."""
+        import time as _time
+
+        old = state.ivf
+        sugar().info(
+            "category %d spill %d rows on a FROZEN store: sequenced "
+            "re-pack (stage -> free -> upload)",
+            category_id, old.spill.live,
+        )
+        t0 = _time.perf_counter()
+        centroids_host = np.asarray(old.centroids)
+        packed, ids, assignments = old.export_live_assigned()
+        t_stage = _time.perf_counter() - t0
+        state.gate.clear()
+        try:
+            with state.inflight_cv:
+                while state.inflight > 0:
+                    state.inflight_cv.wait(timeout=1.0)
+            t0 = _time.perf_counter()
+            old.release_device()
+            try:
+                new = IVFIndex.build(
+                    packed, ids, centroids_host, assignments=assignments,
+                    hbm_budget=self._budget_for(category_id),
+                )
+            except Exception:
+                # the old buffers are gone — the old index must NOT stay
+                # installed (every search would hit deleted arrays).
+                # Degrade to no index; the staleness check reloads from
+                # SQL/snapshot on next boot or sync.
+                state.ivf = None
+                state.sharded = None
+                raise
+            state.ivf = new
+            state.sharded = None
+            state.dirty = True
+            sugar().info(
+                "category %d re-pack done: stage %.1fs, gap %.1fs, spill "
+                "%d -> %d, frozen=%s",
+                category_id, t_stage, _time.perf_counter() - t0,
+                old.spill.live, new.spill.live, new.frozen,
+            )
+        finally:
+            state.gate.set()
 
     # ----------------------------------------------------------------- search
 
@@ -878,12 +980,22 @@ class Engine:
             pool = ivf.n_live
         while True:
             k_req = k
-            scores_row, ids_row = self._batcher.submit(
-                (id(target), k_req, nprobe),
-                target,
-                query_vec,
-                lambda qb: target.search(qb, k=k_req, nprobe=nprobe, refine=k_req),
-            )
+            with state.search_pass():
+                # re-resolve inside the gate: a frozen-store re-pack may
+                # have swapped the index (the pre-gap reference's device
+                # buffers are freed)
+                ivf_t = state.ivf
+                target = (
+                    state.sharded if state.sharded is not None else ivf_t
+                )
+                scores_row, ids_row = self._batcher.submit(
+                    (id(target), k_req, nprobe),
+                    target,
+                    query_vec,
+                    lambda qb: target.search(
+                        qb, k=k_req, nprobe=nprobe, refine=k_req
+                    ),
+                )
             hits: list[tuple[int, float]] = []
             seen: set[int] = set()
             for emb_id, score in zip(ids_row, scores_row):
@@ -1044,11 +1156,14 @@ class Engine:
 
         want = count + offset
         k = _k_class(want)
-        target = state.sharded if state.sharded is not None else ivf
-        scores, ids = self._batcher.submit_many(
-            list(queries),
-            lambda qb: target.search(qb, k=k, nprobe=nprobe, refine=k),
-        )
+        with state.search_pass():
+            # resolve inside the gate (see _window_hits): a frozen-store
+            # re-pack frees the pre-gap index's device buffers
+            target = state.sharded if state.sharded is not None else state.ivf
+            scores, ids = self._batcher.submit_many(
+                list(queries),
+                lambda qb: target.search(qb, k=k, nprobe=nprobe, refine=k),
+            )
         _check_cancel(cancel)
 
         # per-row dedup; rows whose window dedups short with candidates
@@ -1346,7 +1461,12 @@ class Engine:
                     dummy = np.zeros((b, ivf.dim), np.float32)
                     dummy[:, 0] = 1.0
                     for nprobe in cat_nprobes:
-                        ivf.search(dummy, k=k, nprobe=nprobe, refine=k)
+                        # gate like every search dispatch: a frozen-store
+                        # re-pack frees the pre-gap index's buffers
+                        with st.search_pass():
+                            (st.ivf or ivf).search(
+                                dummy, k=k, nprobe=nprobe, refine=k
+                            )
                 sugar().info(
                     "warmed category %d (dim %d, k=%d, batch classes %s, "
                     "nprobes %s)",

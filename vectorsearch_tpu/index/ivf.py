@@ -831,6 +831,22 @@ class IVFIndex:
             assignments=assignments, headroom=headroom, hbm_budget=hbm_budget,
         )
 
+    def release_device(self) -> None:
+        """Explicitly free this index's device buffers (bucket store,
+        mask, counts, spill tail). Used by the frozen-store sequenced
+        re-pack (engine._compact_frozen): the HBM budget cannot hold two
+        copies, so the old store must be freed BEFORE the new layout
+        uploads. The index is unusable afterwards — the caller must have
+        drained every in-flight search first."""
+        for arr in (
+            *self.buckets, self.bucket_mask, self.counts_dev,
+            *self.spill.packed, self.spill.mask,
+        ):
+            try:
+                arr.delete()
+            except Exception:  # already deleted / committed elsewhere
+                pass
+
 
 def assign_clusters(
     packed: PackedVectors, centroids: np.ndarray, chunk: int = 65_536

@@ -116,9 +116,22 @@ def _make_grouped_kernel(nblk_tile: int, bs: int):
     as a physical COPY of the whole grid (the copy OOM'd the 10M config
     where codes already hold 15.5 of 16 GB HBM).
 
+    The maxima output is LANE-PADDED to 128 per tile: Mosaic requires an
+    output block's last dim to be a multiple of 128 (or the whole array),
+    so a (1, QT, nblk_tile=8) block is rejected by the real toolchain
+    (r4 measured; exactly the failure class interpret mode cannot catch).
+    Each tile writes its nblk_tile true maxima into the first lanes of
+    its own 128-lane slice (rest -inf); the caller compacts the small
+    padded array back to [G, QT, nblk]. The maxima are built with
+    per-block static slices + lane-iota selects — no in-kernel reshape,
+    no 1-D layouts (Mosaic limits, see CLAUDE.md).
+
     VSTPU_BMAX_XLA=1 moves the reduce outside the kernel as a
-    lax.reduce_window over the grid (copy-free but one extra HBM read)
-    — the escape hatch if a toolchain rejects the in-kernel reshape."""
+    lax.reduce_window over the grid (copy-free but one extra HBM read) —
+    the escape hatch if a toolchain rejects the in-kernel variant.
+    Measured on v5e (1M x 768, B=512, r4): reduce_window lowers poorly —
+    28.4/35.9 ms per batch at nprobe=8/64 vs ~8.3/15.8 for kernel-side
+    maxima — so the in-kernel path is the default."""
 
     def kernel(
         # scalar prefetch
@@ -132,7 +145,7 @@ def _make_grouped_kernel(nblk_tile: int, bs: int):
         bias_ref,  # f32 [1, 1, TILE] 0 live / -inf dead
         # outputs
         out_ref,  # f32 [1, QT, TILE]
-        bmax_ref=None,  # f32 [1, QT, TILE//BS] (absent when bmax_xla)
+        bmax_ref=None,  # f32 [1, QT, 128] lane-padded (absent when bmax_xla)
     ):
         q = qg_ref[0]  # [QT, D] bf16
         codes = codes_ref[0].astype(jnp.bfloat16)  # [TILE, D]
@@ -146,7 +159,14 @@ def _make_grouped_kernel(nblk_tile: int, bs: int):
         out_ref[0] = scores
         if bmax_ref is not None:
             qt = scores.shape[0]
-            bmax_ref[0] = scores.reshape(qt, nblk_tile, bs).max(axis=-1)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (qt, 128), 1)
+            acc = jnp.full((qt, 128), cosine.NEG_INF, jnp.float32)
+            for j in range(nblk_tile):  # static unroll (nblk_tile <= 16)
+                mj = scores[:, j * bs : (j + 1) * bs].max(
+                    axis=1, keepdims=True
+                )  # [QT, 1]
+                acc = jnp.where(lane == j, mj, acc)
+            bmax_ref[0] = acc
 
     return kernel
 
@@ -395,6 +415,9 @@ def _grouped_scan(
         )
     nblk_tile = tile // bs
     nblk = cap // bs
+    # one 128-lane padded slice holds a tile's maxima (TILE_CAP=1024 ->
+    # nblk_tile=8; anything larger needs a wider padded slice)
+    assert nblk_tile <= 128, (tile, bs)
 
     row_spec = pl.BlockSpec(
         (1, 1, tile), lambda t_, g_, gcl: (gcl[g_], 0, t_)
@@ -407,11 +430,15 @@ def _grouped_scan(
     # DCE'd, so other epilogues must not pay the extra write
     need_bmax = epilogue == "blockexact" and not bmax_xla
     if need_bmax:
+        # lane-padded per-tile maxima: Mosaic rejects a (1, qt, nblk_tile)
+        # block (last dim must be a multiple of 128 or the whole array) —
+        # each tile owns a full 128-lane slice, true values in the first
+        # nblk_tile lanes (see _make_grouped_kernel docstring)
         out_specs.append(
-            pl.BlockSpec((1, qt, nblk_tile), lambda t_, g_, gcl: (g_, 0, t_))
+            pl.BlockSpec((1, qt, 128), lambda t_, g_, gcl: (g_, 0, t_))
         )
         out_shape.append(
-            jax.ShapeDtypeStruct((g_max, qt, nblk), jnp.float32)
+            jax.ShapeDtypeStruct((g_max, qt, tiles * 128), jnp.float32)
         )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -437,7 +464,13 @@ def _grouped_scan(
         interpret=interpret,
     )(grp_cluster, qg, qsum_g, buckets.codes, a, bv, bias)
     if need_bmax:
-        out, bmax = outs
+        out, bmax_pad = outs
+        # compact the lane-padded maxima to [G, QT, nblk]: a lane re-tile
+        # copy, but of the SMALL maxima array (cap/bs columns per tile),
+        # never of the score grid itself
+        bmax = bmax_pad.reshape(g_max, qt, tiles, 128)[
+            ..., :nblk_tile
+        ].reshape(g_max, qt, nblk)
     else:
         (out,) = outs
         bmax = None  # blockexact+bmax_xla computes it lazily in-branch
