@@ -54,8 +54,14 @@ TILE_CAP = 1024  # bucket rows per grid step (int8 sublane multiple)
 
 def _qt_max() -> int:
     """Cap on query rows per group. 32 balances read amplification vs
-    padding waste at nprobe<=8; high-nprobe scans (mean pairs/cluster >
-    32) can raise it via VSTPU_SCAN_QT_MAX to halve codes traffic."""
+    padding waste; VSTPU_SCAN_QT_MAX overrides. Swept on the real chip
+    (r4, 1M x 768, B=512): 32/64/128 gave 28.27/29.57/28.48 ms at
+    nprobe=8 and 35.83/36.67/42.57 at nprobe=64 (blockexact), and
+    flat/exact qt_max=64 tied 32 at nprobe=8 (8.26 vs 8.21) — 32 is the
+    measured optimum, so it stays the static default (the r3 theory
+    that bigger groups would halve codes traffic at high nprobe did not
+    survive measurement: nearly all K clusters are probed and the scan
+    is bandwidth-bound on the whole corpus either way)."""
     import os
 
     return int(os.environ.get("VSTPU_SCAN_QT_MAX", 32))
@@ -87,15 +93,16 @@ def _bmax_xla() -> bool:
     """Where the blockexact prefilter maxima come from: an XLA
     reduce_window over the score grid (copy-free, one extra HBM read —
     guaranteed to compile) or the Pallas kernel's second output (free:
-    reduced while the tile is in VMEM). VSTPU_BMAX_XLA=0 selects the
-    in-kernel path; it currently DEFAULTS to the XLA path because the
-    in-kernel reshape+reduce has not yet been compiled on the real
-    Mosaic toolchain (tunnel outage) — flip the default once a real-TPU
-    run validates it. Resolved OUTSIDE jit so the choice is part of the
-    trace cache key."""
+    reduced while the tile is in VMEM). Both compiled and A/B'd on the
+    real chip (r4, 1M x 768, B=512): full blockexact 27.29/32.87
+    ms/batch at nprobe=8/64 with in-kernel maxima vs 28.29/36.20 with
+    reduce_window — in-kernel wins, so it is the default. (Either way
+    blockexact as a whole loses to flat/exact and is opt-in only — see
+    the auto policy in _grouped_scan.) Resolved OUTSIDE jit so the
+    choice is part of the trace cache key."""
     import os
 
-    return os.environ.get("VSTPU_BMAX_XLA", "1") == "1"
+    return os.environ.get("VSTPU_BMAX_XLA", "0") == "1"
 
 
 def _next_pow2(x: int) -> int:
@@ -129,9 +136,12 @@ def _make_grouped_kernel(nblk_tile: int, bs: int):
     VSTPU_BMAX_XLA=1 moves the reduce outside the kernel as a
     lax.reduce_window over the grid (copy-free but one extra HBM read) —
     the escape hatch if a toolchain rejects the in-kernel variant.
-    Measured on v5e (1M x 768, B=512, r4): reduce_window lowers poorly —
-    28.4/35.9 ms per batch at nprobe=8/64 vs ~8.3/15.8 for kernel-side
-    maxima — so the in-kernel path is the default."""
+    Measured on v5e (1M x 768, B=512, r4): full blockexact runs
+    27.29/32.87 ms per batch at nprobe=8/64 with in-kernel maxima vs
+    28.29/36.20 with reduce_window, so in-kernel is the blockexact
+    default — but EITHER variant loses to the plain flat/exact epilogue
+    (8.42/25.33), so blockexact itself is opt-in, not chosen by
+    "auto"."""
 
     def kernel(
         # scalar prefetch
@@ -322,20 +332,26 @@ def _grouped_scan(
     assert cap % tile == 0, (cap, tile)
 
     if epilogue == "auto":
-        # Measured policy (tools/ivf_perf_probe --phases, 1M x 768 on v5e,
-        # B=512, coarse k=32 — r3 phase breakdown):
+        # Measured policy (r4 same-session A/B, tools/r4_bmax_probe, 1M x
+        # 768 on v5e, B=512, K=995, cap=3072, coarse k=32 — all variants
+        # bit-identical results at recall 0.9664):
         #   * nprobe=1: the flat buffer IS one bucket row per query, so the
         #     approx unit is exactly as safe as the per-pair reduction;
-        #     flat/approx measured 151.4k QPS vs 143.0k pair/approx.
+        #     flat/approx measured 151.4k QPS vs 143.0k pair/approx (r3).
         #   * nprobe>1: EXACT reductions (the corpus-quantization recall
         #     floor, 0.9664 coarse) — flat/approx is faster but drops
         #     contiguous winners at 10M scale (0.9408 at nprobe=64, r2).
-        #     Among exact shapes, blockexact's block-max prefilter beats
-        #     the monolithic flat top-k 32.4k vs 19.9k QPS at nprobe=64
-        #     (identical results; small geometries fall back to flat
-        #     inside the branch).
+        #     Among exact shapes, flat's monolithic top-k WINS once the
+        #     block maxima must be Mosaic-legal: flat/exact 8.42/25.33
+        #     ms/batch at nprobe=8/64 vs blockexact 27.29/32.87 (in-kernel
+        #     lane-padded bmax) and 28.29/36.20 (XLA reduce_window), pair
+        #     14.32/78.58. r3's +62% blockexact figure came from the
+        #     since-removed grid-reshape variant that OOM'd the 10M
+        #     config; the Mosaic-legal replacements lose everywhere, so
+        #     blockexact stays opt-in (VSTPU_EPILOGUE=blockexact), a
+        #     documented negative like "ileave".
         # VSTPU_EPILOGUE=pair restores the r2 behaviour.
-        epilogue = "flat" if nprobe == 1 else "blockexact"
+        epilogue = "flat"
         if nprobe > 1:
             approx = False
 
