@@ -206,7 +206,6 @@ def setup():
 
     set_phase("setup:ground-truth")
     t0 = time.perf_counter()
-    truth = np.empty((N_QUERIES, TOPK), np.int64)
     qn = queries / np.linalg.norm(queries, axis=-1, keepdims=True)
     # Corpus passed as an ARG (a closure constant would be baked into the
     # HLO and blow up remote compilation).
@@ -221,11 +220,14 @@ def setup():
         )
         return jax.lax.top_k(s, TOPK)[1]
 
-    for i in range(0, N_QUERIES, 64):
-        truth[i : i + 64] = np.asarray(
-            exact_topk(jnp.asarray(qn[i : i + 64]), corpus_dev)
-        )
-    del corpus_dev
+    # enqueue all chunks async, ONE device->host sync at the end (each
+    # sync is a tunnel round trip; late-session syncs degrade to 100s+)
+    chunks = [
+        exact_topk(jnp.asarray(qn[i : i + 64]), corpus_dev)
+        for i in range(0, N_QUERIES, 64)
+    ]
+    truth = np.asarray(jnp.concatenate(chunks, axis=0), dtype=np.int64)
+    del corpus_dev, chunks
     log("bench: f32 ground truth in %.1fs", time.perf_counter() - t0)
 
     try:
