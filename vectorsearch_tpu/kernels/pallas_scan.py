@@ -480,16 +480,16 @@ def _grouped_scan(
         interpret=interpret,
     )(grp_cluster, qg, qsum_g, buckets.codes, a, bv, bias)
     if need_bmax:
-        out, bmax_pad = outs
-        # compact the lane-padded maxima to [G, QT, nblk]: a lane re-tile
-        # copy, but of the SMALL maxima array (cap/bs columns per tile),
-        # never of the score grid itself
-        bmax = bmax_pad.reshape(g_max, qt, tiles, 128)[
-            ..., :nblk_tile
-        ].reshape(g_max, qt, nblk)
+        out, bmax = outs
+        # keep the maxima LANE-PADDED [G, QT, tiles*128] and consume them
+        # as-is in the epilogue: compacting to [G, QT, nblk] is a lane
+        # re-tile (a physical copy/transposed-tiling rewrite) and the
+        # prefilter top-k is insensitive to the -inf padding lanes
+        bmax_width = tiles * 128
     else:
         (out,) = outs
         bmax = None  # blockexact+bmax_xla computes it lazily in-branch
+        bmax_width = nblk
     if debug_phase == "kernel":
         chk = out.sum().reshape(1, 1)
         return chk, chk
@@ -636,12 +636,35 @@ def _grouped_scan(
                 window_strides=(1, 1, bs),
                 padding="VALID",
             )
-        pbm = bmax.reshape(g_max * qt, nblk)[pair_slot]  # [P, nblk]
+        # bmax is either compact [.., nblk] (XLA path) or lane-padded
+        # [.., tiles*128] with true maxima in the first nblk_tile lanes
+        # of each tile's 128-lane slice and -inf elsewhere (kernel path);
+        # the prefilter top-k runs over whichever width directly — -inf
+        # padding lanes lose to any finite block maximum
+        pbm = bmax.reshape(g_max * qt, bmax_width)[pair_slot]  # [P, W]
         if probe_valid is not None:
             pbm = jnp.where(probe_valid.reshape(p, 1), pbm, cosine.NEG_INF)
-        _, bpos = jax.lax.top_k(pbm.reshape(b, nprobe * nblk), k_eff)
-        probe_j = bpos // nblk  # [B, k_eff]
-        blk_i = bpos % nblk
+        bvals, bpos = jax.lax.top_k(
+            pbm.reshape(b, nprobe * bmax_width), k_eff
+        )
+        if debug_phase == "prefilter":
+            chk = (
+                bvals.sum() + bpos.astype(jnp.float32).sum()
+            ).reshape(1, 1)
+            return chk, chk
+        probe_j = bpos // bmax_width  # [B, k_eff]
+        if bmax_width == nblk:
+            blk_i = bpos % bmax_width
+        else:
+            rpos = bpos % bmax_width
+            lane = rpos % 128
+            # a padding lane can only be selected when fewer than k_eff
+            # finite block maxima exist; clamp keeps the gather in bounds
+            # and the bvals mask below kills the (possibly duplicated)
+            # candidates it would otherwise contribute
+            blk_i = (rpos // 128) * nblk_tile + jnp.minimum(
+                lane, nblk_tile - 1
+            )
         rowsel = jnp.take_along_axis(
             pair_slot.reshape(b, nprobe), probe_j, axis=-1
         )
@@ -659,11 +682,21 @@ def _grouped_scan(
             slice_sizes=(1, bs),
             mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
         ).reshape(b, k_eff, bs)
+        if bmax_width != nblk:
+            # kill candidates from padding-lane selections (clamped blk_i
+            # would otherwise duplicate a real block's elements)
+            cand = jnp.where(
+                (bvals > cosine.NEG_INF / 2)[..., None], cand,
+                cosine.NEG_INF,
+            )
         if probe_valid is not None:
             vsel = jnp.take_along_axis(
                 probe_valid.reshape(b, nprobe), probe_j, axis=-1
             )
             cand = jnp.where(vsel[..., None], cand, cosine.NEG_INF)
+        if debug_phase == "candgather":
+            chk = cand.sum().reshape(1, 1)
+            return chk, chk
         best, pos2 = jax.lax.top_k(cand.reshape(b, k_eff * bs), k_eff)
         csel = pos2 // bs  # which selected block each winner came from
         probe_sel = jnp.take_along_axis(probe_j, csel, axis=-1)
