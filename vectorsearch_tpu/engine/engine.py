@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import contextlib
 import functools
+import os
 import threading
 from dataclasses import dataclass, field
 from typing import Any, Iterator
@@ -40,6 +41,13 @@ from .docmap import DocMap
 from .textprep import document_prefix, flatten, split
 
 MAX_RESULTS = 20  # reference clamps count to [1, 20] (server/search.go:116)
+
+
+class IndexUnavailableError(RuntimeError):
+    """The category's device index is temporarily gone (a failed frozen
+    re-pack set state.ivf=None pending reload-from-SQL). Raised instead
+    of dereferencing None so the API returns a clear 'index rebuilding'
+    error rather than an opaque AttributeError 500 (ADVICE r4)."""
 
 
 class UploadError(RuntimeError):
@@ -74,6 +82,11 @@ def _process_rss() -> int | None:
 # spill rows below this never trigger a post-upload re-pack (the re-pack
 # pays a full bucket rebuild; tiny spills are cheaper to scan alongside)
 COMPACT_MIN_SPILL = 1024
+
+# frozen re-pack drain bound: give in-flight dispatches this long to
+# finish before aborting the re-pack (a wedged tunnel dispatch must not
+# close the category's search gate forever)
+FROZEN_DRAIN_TIMEOUT_S = int(os.environ.get("VSTPU_DRAIN_TIMEOUT", 300))
 
 
 def _device_hbm_budget() -> int | None:
@@ -897,9 +910,24 @@ class Engine:
         t_stage = _time.perf_counter() - t0
         state.gate.clear()
         try:
+            # Bound the drain: one wedged in-flight dispatch (the remote
+            # tunnel is documented to wedge >30 min) must not block ALL
+            # searches for the category indefinitely. On timeout, abort
+            # the re-pack — release_device has not run yet, so the old
+            # index stays valid and the spill simply persists until the
+            # next trigger (ADVICE r4).
+            deadline = _time.monotonic() + FROZEN_DRAIN_TIMEOUT_S
             with state.inflight_cv:
                 while state.inflight > 0:
-                    state.inflight_cv.wait(timeout=1.0)
+                    remaining = deadline - _time.monotonic()
+                    if remaining <= 0:
+                        raise RuntimeError(
+                            "frozen re-pack aborted: %d in-flight "
+                            "dispatch(es) did not drain in %ds; spill "
+                            "stays until the next trigger"
+                            % (state.inflight, FROZEN_DRAIN_TIMEOUT_S)
+                        )
+                    state.inflight_cv.wait(timeout=min(1.0, remaining))
             t0 = _time.perf_counter()
             old.release_device()
             try:
@@ -985,6 +1013,13 @@ class Engine:
                 # have swapped the index (the pre-gap reference's device
                 # buffers are freed)
                 ivf_t = state.ivf
+                if ivf_t is None:
+                    # a failed frozen re-pack degraded to no index; the
+                    # next sync_with_store/boot reloads from SQL
+                    raise IndexUnavailableError(
+                        "index unavailable: rebuilding after a failed "
+                        "re-pack; retry shortly"
+                    )
                 target = (
                     state.sharded if state.sharded is not None else ivf_t
                 )
@@ -1462,11 +1497,16 @@ class Engine:
                     dummy[:, 0] = 1.0
                     for nprobe in cat_nprobes:
                         # gate like every search dispatch: a frozen-store
-                        # re-pack frees the pre-gap index's buffers
+                        # re-pack frees the pre-gap index's buffers.
+                        # Re-read st.ivf INSIDE the gate — the pre-gate
+                        # `ivf` snapshot may point at buffers a failed
+                        # re-pack already released (ADVICE r4); skip the
+                        # pair instead of dispatching on a stale ref.
                         with st.search_pass():
-                            (st.ivf or ivf).search(
-                                dummy, k=k, nprobe=nprobe, refine=k
-                            )
+                            cur = st.ivf
+                            if cur is None:
+                                continue
+                            cur.search(dummy, k=k, nprobe=nprobe, refine=k)
                 sugar().info(
                     "warmed category %d (dim %d, k=%d, batch classes %s, "
                     "nprobes %s)",
