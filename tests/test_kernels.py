@@ -81,6 +81,47 @@ def test_scan_topk_single_chunk_path(data):
     np.testing.assert_array_equal(np.asarray(i_big), np.asarray(i_small))
 
 
+def test_scan_topk_streamed_matches_scan_topk(data):
+    # n=3000, chunk=512: a non-multiple tail (clamped overlap window)
+    _, queries, packed, _ = data
+    s_ref, i_ref = cosine.scan_topk(
+        jnp.asarray(queries), packed, jnp.int32(packed.n), k=10, chunk=512
+    )
+    s, i = cosine.scan_topk_streamed(
+        jnp.asarray(queries), packed, jnp.int32(packed.n), k=10, chunk=512
+    )
+    np.testing.assert_allclose(np.asarray(s), np.asarray(s_ref), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+    # no row may appear twice (the tail tile overlaps the previous one;
+    # the window mask must exclude the overlap)
+    for row in np.asarray(i):
+        assert len(set(row.tolist())) == len(row)
+
+
+def test_scan_topk_streamed_valid_mask_and_nvalid(data):
+    _, queries, packed, _ = data
+    mask = np.ones(packed.n, bool)
+    mask[50:2950] = False  # only rows [0,50) and [2950, 3000) live
+    s, i = cosine.scan_topk_streamed(
+        jnp.asarray(queries), packed, jnp.int32(packed.n), k=10, chunk=512,
+        valid_mask=jnp.asarray(mask),
+    )
+    i = np.asarray(i)
+    assert mask[i].all()
+    s2, i2 = cosine.scan_topk_streamed(
+        jnp.asarray(queries), packed, jnp.int32(100), k=10, chunk=512
+    )
+    assert (np.asarray(i2) < 100).all()
+
+
+def test_scan_topk_streamed_small_n_and_k_gt_n():
+    packed = layout.pack_float(np.random.default_rng(0).normal(size=(3, 64)))
+    q = jnp.asarray(np.random.default_rng(1).normal(size=(2, 64)), jnp.float32)
+    s, i = cosine.scan_topk_streamed(q, packed, jnp.int32(3), k=8, chunk=512)
+    assert s.shape == (2, 8)
+    assert np.isneginf(np.asarray(s)[:, 3:]).all()
+
+
 def test_mask_invalid_blocks_padding(data):
     _, queries, packed, _ = data
     n_valid = 100
