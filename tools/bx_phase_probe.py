@@ -55,19 +55,28 @@ def main():
     rounds = int(os.environ.get("VSTPU_R4_ROUNDS", 30))
 
     def timed(phase):
-        fn = jax.jit(
-            lambda q: ivf_scan_pallas(
-                q, ivf.centroids_n, ivf.buckets, ivf.counts_dev,
-                ivf.bucket_mask, nprobe=nprobe, k=32,
+        # index arrays MUST be jit arguments, not closure captures: a
+        # closed-over bucket store is lowered as a 2.39 GB module
+        # constant, and every phase's compile ships it through the
+        # tunnel (observed: the r5 first attempt printed the captured-
+        # constants warning after phase 1 and never came back)
+        def run(q, cn, buckets, counts, mask):
+            return ivf_scan_pallas(
+                q, cn, buckets, counts, mask, nprobe=nprobe, k=32,
                 epilogue="blockexact", bmax_xla=False, approx=False,
                 debug_phase=phase,
             )
+
+        fn = jax.jit(run)
+        args = (
+            q_dev, ivf.centroids_n, ivf.buckets, ivf.counts_dev,
+            ivf.bucket_mask,
         )
-        fn(q_dev)[0].block_until_ready()  # compile
+        fn(*args)[0].block_until_ready()  # compile
         t0 = time.perf_counter()
         out = None
         for _ in range(rounds):
-            out = fn(q_dev)
+            out = fn(*args)
         out[0].block_until_ready()
         ms = 1000 * (time.perf_counter() - t0) / rounds
         log("bxphase: nprobe=%d %-12s %8.2f ms/batch", nprobe, phase, ms)

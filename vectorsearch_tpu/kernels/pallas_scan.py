@@ -668,20 +668,26 @@ def _grouped_scan(
         rowsel = jnp.take_along_axis(
             pair_slot.reshape(b, nprobe), probe_j, axis=-1
         )
-        starts = jnp.stack(
-            [rowsel, blk_i * bs], axis=-1
-        ).reshape(b * k_eff, 2)
-        cand = jax.lax.gather(
-            out.reshape(g_max * qt, cap),  # major-dim collapse: free
-            starts,
-            jax.lax.GatherDimensionNumbers(
-                offset_dims=(1,),
-                collapsed_slice_dims=(0,),
-                start_index_map=(0, 1),
-            ),
-            slice_sizes=(1, bs),
-            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
-        ).reshape(b, k_eff, bs)
+        # Candidate fetch in three vectorizable steps. The obvious
+        # formulation — one lax.gather of (1, bs) slices at dynamic LANE
+        # offsets — lowers to a serial dynamic-slice loop on TPU:
+        # 20.3 ms of the 27 ms batch at B=512/nprobe=8 (r5
+        # bx_phase_probe: prefilter 6.68 -> candgather 27.01 ms/batch).
+        # Instead: (1) single-axis ROW gather of the selected pair rows
+        # (the fast gather class, same as the pair/flat epilogues);
+        # (2) lane->sublane split of ONLY that [B*k_eff, cap] slab — a
+        # physical re-tile copy, but its size is bounded by B*k_eff
+        # regardless of nprobe/K (the r3 full-grid split was ~730 MB and
+        # OOM'd the 10M config; this is ~200-335 MB transient, ~1 ms at
+        # the measured 613 GB/s); (3) a second row gather over the
+        # collapsed (B*k_eff, nblk) major dims — collapse is free.
+        rows = out.reshape(g_max * qt, cap)[rowsel.reshape(-1)]
+        flatb = rows.reshape(b * k_eff * nblk, bs)
+        sel = (
+            jnp.arange(b * k_eff, dtype=jnp.int32) * nblk
+            + blk_i.reshape(-1)
+        )
+        cand = flatb[sel].reshape(b, k_eff, bs)
         if bmax_width != nblk:
             # kill candidates from padding-lane selections (clamped blk_i
             # would otherwise duplicate a real block's elements)
