@@ -378,6 +378,7 @@ def kmeans(
     import time as _time
 
     from ..logger import sugar
+    from .progress import tracker as _progress
 
     _t0 = _time.perf_counter()
     init = sample_init(packed, k_super, seed=seed)
@@ -403,25 +404,32 @@ def kmeans(
             # defragments by paging buffers through the host — measured
             # 536 s ONCE per process through the remote tunnel. chunk
             # 8192 shrinks scratch ~8x and the phase runs at roofline.
-            phase1 = lloyd(
-                sub, init, max_iters=superset_iters,
-                chunk=min(chunk, 8_192), mesh=mesh,
-            )
+            with _progress.phase(
+                "superset", f"{k_super} seeds / {sample_n}-row sample"
+            ):
+                phase1 = lloyd(
+                    sub, init, max_iters=superset_iters,
+                    chunk=min(chunk, 8_192), mesh=mesh,
+                )
         else:
-            phase1 = lloyd(
-                packed, init, max_iters=superset_iters, chunk=chunk,
-                mesh=mesh, prepared=prepared,
-            )
+            with _progress.phase(
+                "superset", f"{k_super} seeds / full corpus"
+            ):
+                phase1 = lloyd(
+                    packed, init, max_iters=superset_iters, chunk=chunk,
+                    mesh=mesh, prepared=prepared,
+                )
         top = np.argsort(-phase1.counts, kind="stable")[:k]
         init = phase1.centroids[top]
         sugar().info(
             "build: superset %d seeds / %d-row sample: %.1fs",
             k_super, min(sample_n, n), _time.perf_counter() - _t0,
         )
-    return lloyd(
-        packed, init, max_iters=max_iters, chunk=chunk, mesh=mesh,
-        prepared=prepared,
-    )
+    with _progress.phase("lloyd", f"k={k}, n={n}"):
+        return lloyd(
+            packed, init, max_iters=max_iters, chunk=chunk, mesh=mesh,
+            prepared=prepared,
+        )
 
 
 def build_centroids(
@@ -450,8 +458,11 @@ def build_centroids(
     if min_cluster_size is None:
         min_cluster_size = max(1, target_cluster_size // 10)
 
+    from .progress import tracker as _progress
+
     t0 = _time.perf_counter()
-    prepared = prepare_tiles(packed, chunk, mesh)
+    with _progress.phase("upload", f"{n} rows -> device tiles"):
+        prepared = prepare_tiles(packed, chunk, mesh)
     t_prep = _time.perf_counter()
     result = kmeans(
         packed, k, max_iters=max_iters, chunk=chunk, mesh=mesh, seed=seed,
@@ -467,17 +478,20 @@ def build_centroids(
 
     small = result.counts < min_cluster_size
     if small.any() and (~small).any():
-        survivors = result.centroids[~small]
-        # one Lloyd's iteration against survivors = reassign + recenter
-        result = lloyd(
-            packed, survivors, max_iters=1, chunk=chunk, mesh=mesh,
-            tol_changes=-1, prepared=prepared,
-        )
-        # recenter once more so centroids reflect the new assignment
-        result = lloyd(
-            packed, result.centroids, max_iters=1, chunk=chunk, mesh=mesh,
-            tol_changes=-1, prepared=prepared,
-        )
+        with _progress.phase(
+            "drop-small", f"{int(small.sum())} clusters below minimum"
+        ):
+            survivors = result.centroids[~small]
+            # one Lloyd's iteration against survivors = reassign+recenter
+            result = lloyd(
+                packed, survivors, max_iters=1, chunk=chunk, mesh=mesh,
+                tol_changes=-1, prepared=prepared,
+            )
+            # recenter once more so centroids reflect the new assignment
+            result = lloyd(
+                packed, result.centroids, max_iters=1, chunk=chunk,
+                mesh=mesh, tol_changes=-1, prepared=prepared,
+            )
         sugar().info(
             "build: drop-small (%d dropped) %.1fs",
             int(small.sum()), _time.perf_counter() - t_kmeans,
@@ -488,45 +502,51 @@ def build_centroids(
     # divide step (dnc/dnc.go:320-335 splits any node above CENTROID_SIZE).
     # Skew directly sets the uniform bucket capacity (index/ivf.py), so a
     # tighter max cluster means less HBM padding and faster probes.
-    for _ in range(balance_rounds):
+    for round_i in range(balance_rounds):
         t_round = _time.perf_counter()
         mean_count = max(1, int(result.counts.sum() // max(1, len(result.counts))))
         limit = 2 * mean_count
         oversized = np.nonzero(result.counts > limit)[0]
         if oversized.size == 0:
             break
-        keep = [result.centroids[i] for i in range(len(result.counts))
-                if i not in set(oversized.tolist())]
-        new_centroids = list(keep)
-        host_codes = np.asarray(packed.codes)
-        for ci in oversized:
-            members = np.nonzero(result.assignments == ci)[0]
-            if members.size > constants.SAMPLE_SIZE:
-                members = np.random.default_rng(seed + int(ci)).choice(
-                    members, size=constants.SAMPLE_SIZE, replace=False
+        with _progress.phase(
+            "balance", f"round {round_i + 1}: {oversized.size} splits"
+        ):
+            keep = [result.centroids[i] for i in range(len(result.counts))
+                    if i not in set(oversized.tolist())]
+            new_centroids = list(keep)
+            host_codes = np.asarray(packed.codes)
+            for ci in oversized:
+                members = np.nonzero(result.assignments == ci)[0]
+                if members.size > constants.SAMPLE_SIZE:
+                    members = np.random.default_rng(seed + int(ci)).choice(
+                        members, size=constants.SAMPLE_SIZE, replace=False
+                    )
+                sub = PackedVectors(
+                    codes=host_codes[members],
+                    scale=np.asarray(packed.scale)[members],
+                    offset=np.asarray(packed.offset)[members],
+                    inv_norm=np.asarray(packed.inv_norm)[members],
                 )
-            sub = PackedVectors(
-                codes=host_codes[members],
-                scale=np.asarray(packed.scale)[members],
-                offset=np.asarray(packed.offset)[members],
-                inv_norm=np.asarray(packed.inv_norm)[members],
+                k_sub = max(2, -(-int(result.counts[ci]) // mean_count))
+                # superset_mul=1: skip the oversample phase for
+                # sub-splits — it would add one compiled shape per
+                # distinct k_sub*mul (compiles dominate through the
+                # remote-compile tunnel)
+                sub_res = kmeans(
+                    sub, k_sub, max_iters=10, superset_mul=1, chunk=chunk,
+                    seed=seed + int(ci),
+                )
+                new_centroids.extend(list(sub_res.centroids))
+            t_subs = _time.perf_counter()
+            result = lloyd(
+                packed, np.stack(new_centroids), max_iters=2, chunk=chunk,
+                mesh=mesh, tol_changes=-1, prepared=prepared,
             )
-            k_sub = max(2, -(-int(result.counts[ci]) // mean_count))
-            # superset_mul=1: skip the oversample phase for sub-splits —
-            # it would add one compiled shape per distinct k_sub*mul
-            # (compiles dominate through the remote-compile tunnel)
-            sub_res = kmeans(
-                sub, k_sub, max_iters=10, superset_mul=1, chunk=chunk,
-                seed=seed + int(ci),
+            sugar().info(
+                "build: balance round (%d split, subs %.1fs, "
+                "reassign %.1fs)",
+                oversized.size, t_subs - t_round,
+                _time.perf_counter() - t_subs,
             )
-            new_centroids.extend(list(sub_res.centroids))
-        t_subs = _time.perf_counter()
-        result = lloyd(
-            packed, np.stack(new_centroids), max_iters=2, chunk=chunk,
-            mesh=mesh, tol_changes=-1, prepared=prepared,
-        )
-        sugar().info(
-            "build: balance round (%d split, subs %.1fs, reassign %.1fs)",
-            oversized.size, t_subs - t_round, _time.perf_counter() - t_subs,
-        )
     return result

@@ -1534,6 +1534,8 @@ class Engine:
                 "hbm_bytes": ivf.hbm_bytes if ivf else 0,
                 "doc_map_entries": len(st.doc_map),
             }
+        from ..build.progress import tracker as _progress
+
         return {
             "categories": cats,
             "batcher": self._batcher.stats(),
@@ -1543,6 +1545,9 @@ class Engine:
             },
             "hbm_budget_bytes": self._hbm_budget,
             "rss_bytes": _process_rss(),
+            # live rebuild progress (None when no build is running):
+            # phase, per-phase elapsed + EWMA ETA — build/progress.py
+            "build": _progress.snapshot(),
         }
 
     # ---------------------------------------------------------------- rebuild
@@ -1579,10 +1584,20 @@ class Engine:
             if len(ids) == 0:
                 return False
             # the engine's mesh drives the k-means build by default
-            # (multi-device Lloyd's, build/kmeans.py shard_map path)
-            result = build_centroids(
-                packed, mesh=build_kwargs.pop("mesh", self.mesh), **build_kwargs
-            )
+            # (multi-device Lloyd's, build/kmeans.py shard_map path).
+            # Progress (phases, ETA) surfaces in /api/stats "build" and
+            # heartbeat logs while this runs (build/progress.py;
+            # reference: dnc/dnc.go:81-90 mpb bars).
+            from ..build.progress import tracker as _progress
+
+            _progress.begin(len(ids), category=category_id)
+            try:
+                result = build_centroids(
+                    packed, mesh=build_kwargs.pop("mesh", self.mesh),
+                    **build_kwargs,
+                )
+            finally:
+                _progress.end()
             new_ivf = IVFIndex.build(
                 packed, ids, result.centroids, assignments=result.assignments,
                 hbm_budget=self._budget_for(category_id),
