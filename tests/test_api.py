@@ -237,6 +237,34 @@ def test_static_pages(engine):
     run(engine, flow)
 
 
+def test_api_console_covers_every_openapi_path(engine):
+    """The /api page is an interactive console (reference embeds Swagger
+    UI, static/static.go:5): every path documented in openapi.yml must be
+    present in its ENDPOINTS table with an Execute wiring (no JS runtime
+    in this image — structural check, same strategy as test_doctools)."""
+    import re
+
+    async def flow(client):
+        html = await (await client.get("/api")).text()
+        yml = await (await client.get("/api/openapi.yml")).text()
+        spec_paths = re.findall(r"^  (/api/\S+):", yml, re.M)
+        assert spec_paths, "openapi.yml paths parse"
+        for p in spec_paths:
+            assert f'path: "{p}"' in html, f"{p} missing from console"
+        # executable wiring: fetch(ep.path), Execute button, JSON editor,
+        # and a streaming reader for /api/chat
+        for needle in (
+            "fetch(ep.path", "Execute", "textarea", "getReader()",
+            "stream: true",
+        ):
+            assert needle in html, needle
+        # console endpoint count matches the spec exactly (a new route
+        # must be added to BOTH)
+        assert len(re.findall(r'path: "/api/', html)) == len(spec_paths)
+
+    run(engine, flow)
+
+
 def test_wasm_headers_on_every_route(engine):
     """COOP/COEP on all responses (reference main.go:117-125) — required
     for the UI's WASM/SharedArrayBuffer document parsing."""
