@@ -81,7 +81,11 @@ def main():
         ms = 1000 * (time.perf_counter() - t0) / rounds
         log("bxphase: nprobe=%d %-12s %8.2f ms/batch", nprobe, phase, ms)
 
-    for phase in ("groups", "kernel", "prefilter", "candgather", "full"):
+    phases = os.environ.get(
+        "VSTPU_BX_PHASES",
+        "groups,kernel,prefilter,candgather,full",
+    ).split(",")
+    for phase in phases:
         timed(phase)
     log("bxphase: done")
 

@@ -294,6 +294,9 @@ def _ivf_scan_pallas(
         preferred_element_type=jnp.float32,
     )
     _, probed = jax.lax.top_k(probe, nprobe)  # [B, nprobe]
+    if debug_phase == "probe":
+        chk = probed.astype(jnp.float32).sum().reshape(1, 1)
+        return chk, chk
     qsum = jnp.sum(qn, axis=-1)  # [B]
     return _grouped_scan(
         qn, qsum, buckets, counts, bucket_mask, probed, None, k,
@@ -332,7 +335,7 @@ def _grouped_scan(
     assert cap % tile == 0, (cap, tile)
 
     if epilogue == "auto":
-        # Measured policy (r4 same-session A/B, tools/r4_bmax_probe, 1M x
+        # Measured policy (r5 same-session A/B, tools/r4_bmax_probe, 1M x
         # 768 on v5e, B=512, K=995, cap=3072, coarse k=32 — all variants
         # bit-identical results at recall 0.9664):
         #   * nprobe=1: the flat buffer IS one bucket row per query, so the
@@ -341,19 +344,25 @@ def _grouped_scan(
         #   * nprobe>1: EXACT reductions (the corpus-quantization recall
         #     floor, 0.9664 coarse) — flat/approx is faster but drops
         #     contiguous winners at 10M scale (0.9408 at nprobe=64, r2).
-        #     Among exact shapes, flat's monolithic top-k WINS once the
-        #     block maxima must be Mosaic-legal: flat/exact 8.42/25.33
-        #     ms/batch at nprobe=8/64 vs blockexact 27.29/32.87 (in-kernel
-        #     lane-padded bmax) and 28.29/36.20 (XLA reduce_window), pair
-        #     14.32/78.58. r3's +62% blockexact figure came from the
-        #     since-removed grid-reshape variant that OOM'd the 10M
-        #     config; the Mosaic-legal replacements lose everywhere, so
-        #     blockexact stays opt-in (VSTPU_EPILOGUE=blockexact), a
-        #     documented negative like "ileave".
-        # VSTPU_EPILOGUE=pair restores the r2 behaviour.
+        #     Among exact shapes the winner depends on the score-column
+        #     count nprobe*cap: flat's single monolithic top-k wins while
+        #     columns are few (8.32 vs 9.00 ms/batch at nprobe=8); the
+        #     blockexact block-max prefilter wins once the monolithic
+        #     reduction dominates (15.34 vs 25.51 ms at nprobe=64 —
+        #     in-kernel lane-padded bmax, after r5 vectorized its
+        #     candidate fetch; r4 measured blockexact at 27.29/32.87
+        #     when that fetch was a serial dynamic-slice loop). Linear
+        #     models of the two epilogue costs cross near ~40k columns;
+        #     32768 splits the measured points with margin. pair
+        #     (14.51/78.67) and reduce_window maxima (9.81/17.36) lose
+        #     everywhere.
+        # VSTPU_EPILOGUE=pair restores the r2 behaviour;
+        # VSTPU_EPILOGUE=flat forces the monolithic reduction.
         epilogue = "flat"
         if nprobe > 1:
             approx = False
+            if nprobe * cap > 32768 and cap % 128 == 0:
+                epilogue = "blockexact"
 
     # ---- group building: pack (query, cluster) pairs into QT-row groups
     # per cluster. QT ~ 2x the mean pairs/cluster keeps most groups full
@@ -399,6 +408,13 @@ def _grouped_scan(
     pair_slot = jnp.zeros((p,), jnp.int32).at[order].set(
         pc, unique_indices=True
     )
+    if debug_phase == "sortbin":
+        # everything except the [G, QT, D] query-group gather: isolates
+        # the argsort/scan/scatter chain from the qg materialization
+        chk = (
+            pair_slot.sum() + grp_cluster.sum() + qidx.sum()
+        ).reshape(1, 1).astype(jnp.float32)
+        return chk, chk
 
     qg = qn.astype(jnp.bfloat16)[qidx]  # [G, QT, D]
     qsum_g = qsum[qidx][..., None]  # [G, QT, 1]
