@@ -248,6 +248,11 @@ def setup():
 
 def main():
     import jax
+
+    if os.environ.get("VSTPU_BENCH_CPU") == "1":
+        # hermetic smoke off the chip (JAX_PLATFORMS env alone is
+        # ignored — the axon plugin sets jax.config at import)
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from vectorsearch_tpu.build import build_centroids
@@ -287,9 +292,21 @@ def main():
     with _state_lock:
         _state["build_s"] = build_s
     log(
-        "bench: k-means build %d centroids over %d vectors: %.1fs (%d iters)",
+        "bench: k-means build %d centroids over %d vectors: %.1fs "
+        "(%d iters, final churn %d rows = %.3f%%)",
         result.centroids.shape[0], N, build_s, result.iterations,
+        result.final_changes, 100.0 * max(0, result.final_changes) / N,
     )
+    # convergence guard (VERDICT r4 weak#7): the recall floor downstream
+    # masks a silently under-converged build — flag one loudly. >2%
+    # assignment churn in the final iteration means Lloyd's was still
+    # moving when it hit max_iters (a converged 1M build lands <<1%).
+    if result.final_changes > 0.02 * N:
+        log(
+            "bench: WARNING k-means NOT converged (%.1f%% churn in final "
+            "iteration) — recall below may understate the index",
+            100.0 * result.final_changes / N,
+        )
 
     set_phase("bucket-pack")
     t0 = time.perf_counter()
@@ -346,7 +363,12 @@ def main():
     use_pallas = (
         jax.default_backend() == "tpu" and os.environ.get("VSTPU_NO_PALLAS") != "1"
     )
-    nprobes = list(dict.fromkeys(min(p, ivf.k_clusters) for p in (1, NPROBE, 64)))
+    # nprobe=2 rides the sweep (VERDICT r4 weak#6): one step past the
+    # headline config — if it holds ~0.96 recall at 90k+ QPS it is the
+    # better speed/recall point and the headline picker takes it
+    nprobes = list(dict.fromkeys(
+        min(p, ivf.k_clusters) for p in (1, 2, NPROBE, 64)
+    ))
     batches = sorted({BATCH, flat_batch}, reverse=True) if FULL else [flat_batch]
     for nprobe in nprobes:
         for bsz in batches:

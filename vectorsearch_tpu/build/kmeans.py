@@ -44,6 +44,11 @@ class KMeansResult:
     assignments: np.ndarray  # int32 [N]
     counts: np.ndarray  # int64 [K]
     iterations: int
+    # assignment churn of the FINAL Lloyd iteration (device change
+    # counter) — a convergence diagnostic: a build that stopped on
+    # max_iters with high churn is silently under-converged
+    # (VERDICT r4 weak#7). -1 when unknown (zero-iteration paths).
+    final_changes: int = -1
 
 
 def _tile_data(packed: PackedVectors, chunk: int, pad_multiple: int = 1):
@@ -238,8 +243,10 @@ def _make_lloyd_loop(mesh: Mesh | None, axis: str = "data"):
             jnp.int32(0),
             jnp.int32(2**31 - 1),
         )
-        cents, counts, cids, it, _ = jax.lax.while_loop(cond, body, init)
-        return cents, counts, cids, it
+        cents, counts, cids, it, changes = jax.lax.while_loop(
+            cond, body, init
+        )
+        return cents, counts, cids, it, changes
 
     if mesh is None:
         return jax.jit(run)
@@ -253,7 +260,7 @@ def _make_lloyd_loop(mesh: Mesh | None, axis: str = "data"):
         P(),
         P(),
     )
-    specs_out = (P(), P(), pv, P())
+    specs_out = (P(), P(), pv, P(), P())
     return jax.jit(
         jax.shard_map(
             run, mesh=mesh, in_specs=specs_in, out_specs=specs_out,
@@ -315,9 +322,14 @@ def lloyd(
     )
     k_valid = jnp.int32(k_real)  # dynamic mask, not a compile shape
     run = _make_lloyd_loop(mesh)
-    centroids, counts, d_prev, it = run(
+    centroids, counts, d_prev, it, changes = run(
         d_tiles, d_valid, centroids, d_prev, k_valid,
         jnp.int32(max_iters), jnp.int32(tol_changes),
+    )
+    # ONE bundled device->host transfer (every separate sync is a tunnel
+    # round trip, CLAUDE.md)
+    centroids, counts, d_prev, it, changes = jax.device_get(
+        (centroids, counts, d_prev, it, changes)
     )
     assignments = np.asarray(d_prev).reshape(-1)[:n]
     return KMeansResult(
@@ -325,6 +337,7 @@ def lloyd(
         assignments=assignments,
         counts=np.asarray(counts, np.int64)[:k_real],
         iterations=int(it),
+        final_changes=int(changes),
     )
 
 
@@ -473,6 +486,11 @@ def build_centroids(
         "build: prepare(upload) %.1fs, kmeans(superset+%d iters) %.1fs",
         t_prep - t0, result.iterations, t_kmeans - t_prep,
     )
+    # The MAIN Lloyd's convergence stats. Later passes (drop-small
+    # recenter, balance reassign) run 1-2 bounded iterations against a
+    # reset prev=-1, so THEIR iterations/final_changes are meaningless
+    # as convergence diagnostics — restore these before returning.
+    main_iters, main_churn = result.iterations, result.final_changes
     if result.centroids.shape[0] <= 1:
         return result
 
@@ -549,4 +567,8 @@ def build_centroids(
                 oversized.size, t_subs - t_round,
                 _time.perf_counter() - t_subs,
             )
-    return result
+    import dataclasses
+
+    return dataclasses.replace(
+        result, iterations=main_iters, final_changes=main_churn
+    )
