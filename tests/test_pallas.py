@@ -356,3 +356,22 @@ def test_epilogue_env_selects(monkeypatch):
         nprobe=3, k=5, interpret=True,
     )
     np.testing.assert_array_equal(np.asarray(base_i), np.asarray(env_i))
+
+
+def test_auto_epilogue_policy():
+    """The measured r5 crossover (ROUND5.md §2): flat below 32k score
+    columns, blockexact above; nprobe=1 keeps the caller's approx."""
+    from vectorsearch_tpu.kernels.pallas_scan import resolve_auto_epilogue
+
+    # nprobe=1: flat, approx passes through
+    assert resolve_auto_epilogue(1, 3072, True) == ("flat", True)
+    assert resolve_auto_epilogue(1, 3072, False) == ("flat", False)
+    # 1M geometry (cap=3072): nprobe=8 -> flat/exact, 16+ -> blockexact
+    assert resolve_auto_epilogue(8, 3072, True) == ("flat", False)
+    assert resolve_auto_epilogue(16, 3072, True) == ("blockexact", False)
+    assert resolve_auto_epilogue(64, 3072, True) == ("blockexact", False)
+    # 10M geometry (cap=5120): crossover at nprobe >= 7
+    assert resolve_auto_epilogue(6, 5120, True) == ("flat", False)
+    assert resolve_auto_epilogue(8, 5120, True) == ("blockexact", False)
+    # blockexact requires a 128-block-aligned cap (test geometries)
+    assert resolve_auto_epilogue(64, 3100, True) == ("flat", False)

@@ -89,6 +89,22 @@ def _approx_wide() -> int:
     return int(os.environ.get("VSTPU_APPROX_WIDE", 1))
 
 
+def resolve_auto_epilogue(
+    nprobe: int, cap: int, approx: bool
+) -> tuple[str, bool]:
+    """The measured "auto" policy (see the call site's comment block for
+    the A/B evidence): nprobe=1 keeps flat with the caller's approx
+    choice; nprobe>1 forces an exact reduction and picks blockexact's
+    block-max prefilter once the score-column count nprobe*cap clears
+    32768 (flat's single monolithic top-k wins below). Factored out so
+    the crossover is directly unit-testable."""
+    if nprobe <= 1:
+        return "flat", approx
+    if nprobe * cap > 32768 and cap % 128 == 0:
+        return "blockexact", False
+    return "flat", False
+
+
 def _bmax_xla() -> bool:
     """Where the blockexact prefilter maxima come from: an XLA
     reduce_window over the score grid (copy-free, one extra HBM read —
@@ -358,11 +374,7 @@ def _grouped_scan(
         #     everywhere.
         # VSTPU_EPILOGUE=pair restores the r2 behaviour;
         # VSTPU_EPILOGUE=flat forces the monolithic reduction.
-        epilogue = "flat"
-        if nprobe > 1:
-            approx = False
-            if nprobe * cap > 32768 and cap % 128 == 0:
-                epilogue = "blockexact"
+        epilogue, approx = resolve_auto_epilogue(nprobe, cap, approx)
 
     # ---- group building: pack (query, cluster) pairs into QT-row groups
     # per cluster. QT ~ 2x the mean pairs/cluster keeps most groups full
