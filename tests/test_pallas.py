@@ -375,3 +375,35 @@ def test_auto_epilogue_policy():
     assert resolve_auto_epilogue(8, 5120, True) == ("blockexact", False)
     # blockexact requires a 128-block-aligned cap (test geometries)
     assert resolve_auto_epilogue(64, 3100, True) == ("flat", False)
+
+
+def test_blockexact_tile_major_multi_tile(monkeypatch):
+    """cap > TILE_CAP engages the tile-major score layout (the tile
+    index becomes a MAJOR output dim so the candidate fetch row-gathers
+    1-tile rows — r5). Every prior test ran cap <= 1024 (tiles=1), which
+    keeps the legacy layout; this pins exact flat==blockexact equality
+    with tiles=2."""
+    monkeypatch.setattr(constants, "BUCKET_ROUND", 1024)
+    from vectorsearch_tpu.kernels import pallas_scan
+
+    # n_per=900 -> bucket_capacity rounds to 2048 = 2 tiles
+    ivf, v = make_ivf(n_per=900, k=4, d=64)
+    assert ivf.cap == 2048 and ivf.cap > pallas_scan.TILE_CAP
+    q = jnp.asarray(v[:5] + 0.01, jnp.float32)
+    outs = [
+        ivf_scan_pallas(
+            q, ivf.centroids_n, ivf.buckets, ivf.counts_dev,
+            ivf.bucket_mask, nprobe=nprobe, k=10, interpret=True,
+            epilogue=epi, approx=False,
+        )
+        for nprobe in (2, 4)
+        for epi in ("flat", "blockexact")
+    ]
+    # nprobe=2: outs[0] flat vs outs[1] blockexact; nprobe=4: outs[2]/[3]
+    for flat_out, bx_out in ((outs[0], outs[1]), (outs[2], outs[3])):
+        np.testing.assert_array_equal(
+            np.asarray(flat_out[0]), np.asarray(bx_out[0])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(flat_out[1]), np.asarray(bx_out[1])
+        )

@@ -128,7 +128,7 @@ def _next_pow2(x: int) -> int:
     return n
 
 
-def _make_grouped_kernel(nblk_tile: int, bs: int):
+def _make_grouped_kernel(nblk_tile: int, bs: int, tile_major: bool = False):
     """Kernel emitting the score tile AND its per-128-lane-block maxima.
 
     The block maxima feed the blockexact epilogue's prefilter. Computing
@@ -170,7 +170,7 @@ def _make_grouped_kernel(nblk_tile: int, bs: int):
         bv_ref,  # f32 [1, 1, TILE]   offset * inv_norm
         bias_ref,  # f32 [1, 1, TILE] 0 live / -inf dead
         # outputs
-        out_ref,  # f32 [1, QT, TILE]
+        out_ref,  # f32 [1, QT, TILE] (tile_major: [1, 1, QT, TILE])
         bmax_ref=None,  # f32 [1, QT, 128] lane-padded (absent when bmax_xla)
     ):
         q = qg_ref[0]  # [QT, D] bf16
@@ -182,7 +182,13 @@ def _make_grouped_kernel(nblk_tile: int, bs: int):
             preferred_element_type=jnp.float32,
         )  # [QT, TILE] on the MXU
         scores = dots * a_ref[0] + qsum_ref[0] * bv_ref[0] + bias_ref[0]
-        out_ref[0] = scores
+        if tile_major:
+            # same [QT, TILE] VMEM block; only the HBM placement differs
+            # (tile index is a MAJOR dim of the output array, so the
+            # epilogue's candidate fetch can row-gather 1-tile rows)
+            out_ref[0, 0] = scores
+        else:
+            out_ref[0] = scores
         if bmax_ref is not None:
             qt = scores.shape[0]
             lane = jax.lax.broadcasted_iota(jnp.int32, (qt, 128), 1)
@@ -463,13 +469,42 @@ def _grouped_scan(
     # nblk_tile=8; anything larger needs a wider padded slice)
     assert nblk_tile <= 128, (tile, bs)
 
+    # blockexact geometry fallback (all static): the prefilter is
+    # invalid/unprofitable when k_eff exceeds the block count or the
+    # candidate slab wouldn't shrink the reduction 2x
+    k_eff_static = min(k, nprobe * cap)
+    bx_fallback = (
+        k_eff_static > nprobe * nblk
+        or k_eff_static * bs * 2 > nprobe * cap
+    )
+    # Tile-major score layout for the blockexact epilogue: the tile
+    # index becomes a MAJOR output dim ([G, tiles, QT, tile] instead of
+    # folding tiles into the cap lanes), so the candidate fetch gathers
+    # 1-tile rows (tile lanes) instead of full cap rows — cap/tile x
+    # less gather+re-tile traffic — while the kernel writes the exact
+    # same [QT, TILE] VMEM block (only the HBM index_map changes).
+    tile_major = (
+        epilogue == "blockexact" and not bmax_xla and not bx_fallback
+        and tiles > 1
+    )
+
     row_spec = pl.BlockSpec(
         (1, 1, tile), lambda t_, g_, gcl: (gcl[g_], 0, t_)
     )
-    out_specs = [
-        pl.BlockSpec((1, qt, tile), lambda t_, g_, gcl: (g_, 0, t_)),
-    ]
-    out_shape = [jax.ShapeDtypeStruct((g_max, qt, cap), jnp.float32)]
+    if tile_major:
+        out_specs = [
+            pl.BlockSpec(
+                (1, 1, qt, tile), lambda t_, g_, gcl: (g_, t_, 0, 0)
+            ),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((g_max, tiles, qt, tile), jnp.float32)
+        ]
+    else:
+        out_specs = [
+            pl.BlockSpec((1, qt, tile), lambda t_, g_, gcl: (g_, 0, t_)),
+        ]
+        out_shape = [jax.ShapeDtypeStruct((g_max, qt, cap), jnp.float32)]
     # only blockexact consumes the maxima; pallas outputs cannot be
     # DCE'd, so other epilogues must not pay the extra write
     need_bmax = epilogue == "blockexact" and not bmax_xla
@@ -502,7 +537,7 @@ def _grouped_scan(
         out_specs=out_specs,
     )
     outs = pl.pallas_call(
-        _make_grouped_kernel(nblk_tile, bs),
+        _make_grouped_kernel(nblk_tile, bs, tile_major),
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
@@ -637,7 +672,7 @@ def _grouped_scan(
         # nprobe), a [B, k_eff, BS] candidate slice-gather, and a small
         # exact top-k.
         total_blk = nprobe * nblk
-        if k_eff > total_blk or k_eff * bs * 2 > nprobe * cap:
+        if bx_fallback:
             # geometry too small for the prefilter to pay (or to be
             # valid): plain flat exact reduction
             pair_scores = mask_invalid(
@@ -709,12 +744,28 @@ def _grouped_scan(
         # OOM'd the 10M config; this is ~200-335 MB transient, ~1 ms at
         # the measured 613 GB/s); (3) a second row gather over the
         # collapsed (B*k_eff, nblk) major dims — collapse is free.
-        rows = out.reshape(g_max * qt, cap)[rowsel.reshape(-1)]
-        flatb = rows.reshape(b * k_eff * nblk, bs)
-        sel = (
-            jnp.arange(b * k_eff, dtype=jnp.int32) * nblk
-            + blk_i.reshape(-1)
-        )
+        if tile_major:
+            # out is [G, tiles, QT, tile]: gather the ONE tile-row each
+            # selected block lives in (tile lanes, not cap) — cap/tile x
+            # less gather+re-tile traffic than the full-row variant
+            t_sel = blk_i // nblk_tile
+            b_in = blk_i % nblk_tile
+            rows4 = (
+                ((rowsel // qt) * tiles + t_sel) * qt + rowsel % qt
+            )  # [B, k_eff] rows of the collapsed [G*tiles*QT, tile] view
+            rows = out.reshape(g_max * tiles * qt, tile)[rows4.reshape(-1)]
+            flatb = rows.reshape(b * k_eff * nblk_tile, bs)
+            sel = (
+                jnp.arange(b * k_eff, dtype=jnp.int32) * nblk_tile
+                + b_in.reshape(-1)
+            )
+        else:
+            rows = out.reshape(g_max * qt, cap)[rowsel.reshape(-1)]
+            flatb = rows.reshape(b * k_eff * nblk, bs)
+            sel = (
+                jnp.arange(b * k_eff, dtype=jnp.int32) * nblk
+                + blk_i.reshape(-1)
+            )
         cand = flatb[sel].reshape(b, k_eff, bs)
         if bmax_width != nblk:
             # kill candidates from padding-lane selections (clamped blk_i
