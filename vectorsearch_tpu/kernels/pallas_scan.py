@@ -110,11 +110,11 @@ def _bmax_xla() -> bool:
     reduce_window over the score grid (copy-free, one extra HBM read —
     guaranteed to compile) or the Pallas kernel's second output (free:
     reduced while the tile is in VMEM). Both compiled and A/B'd on the
-    real chip (r4, 1M x 768, B=512): full blockexact 27.29/32.87
-    ms/batch at nprobe=8/64 with in-kernel maxima vs 28.29/36.20 with
-    reduce_window — in-kernel wins, so it is the default. (Either way
-    blockexact as a whole loses to flat/exact and is opt-in only — see
-    the auto policy in _grouped_scan.) Resolved OUTSIDE jit so the
+    real chip (r5 after the candidate-fetch fix, 1M x 768, B=512):
+    blockexact 9.00/15.34 ms/batch at nprobe=8/64 with in-kernel maxima
+    vs 9.81/17.36 with reduce_window — in-kernel wins, so it is the
+    default (and blockexact itself is the auto epilogue above 32k score
+    columns, see resolve_auto_epilogue). Resolved OUTSIDE jit so the
     choice is part of the trace cache key."""
     import os
 
