@@ -386,6 +386,67 @@ def main():
             except Exception as e:
                 log("bench: ivf nprobe=%d B=%d failed: %s", nprobe, bsz, e)
 
+    # ---- large-batch bulk points (the search_many / batched-client
+    # path). Bigger batches amortize the per-dispatch probe/epilogue
+    # cost AND share bucket reads across more queries — but only when
+    # the queries are DISTINCT: np.resize tiling would alias repeats
+    # into the same clusters, shrink the distinct-bucket read set, and
+    # overstate QPS. The pool is dequantized corpus rows + the same
+    # noise recipe as setup()'s queries, so cluster density matches.
+    # Recall is batch-invariant (identical program), reused from the
+    # B=512 row of the same nprobe; headline picker takes the max, so
+    # a losing point is recorded but harmless.
+    bulk_batch = int(os.environ.get("VSTPU_BENCH_BULK_BATCH", 2048))
+    if bulk_batch > 0:
+        set_phase("measure:bulk")
+        rng2 = np.random.default_rng(7)
+        pool_idx = rng2.choice(N, size=bulk_batch, replace=False)
+        base2 = (
+            np.asarray(packed.offset)[pool_idx, None]
+            + np.asarray(packed.scale)[pool_idx, None]
+            * np.asarray(packed.codes)[pool_idx].astype(np.float32)
+        )
+        q_pool = (
+            base2
+            + rng2.normal(size=(bulk_batch, DIM)).astype(np.float32) * 0.1
+        ).astype(np.float32)
+        for nprobe in (1, 2):
+            with _state_lock:
+                prior = next(
+                    (r for r in _state["results"]
+                     if r[0] == f"ivf+refine nprobe={nprobe}"), None,
+                )
+            if prior is None:
+                continue
+            try:
+                fn = lambda q, np_=nprobe: _scan_refined(  # noqa: E731
+                    q, ivf.centroids_n, ivf.buckets, ivf.counts_dev,
+                    ivf.bucket_mask, nprobe=np_, k_coarse=32, k=TOPK,
+                    use_pallas=use_pallas,
+                )
+                q_dev = jnp.asarray(q_pool)
+                fn(q_dev)[0].block_until_ready()
+                t0 = time.perf_counter()
+                last = None
+                for _ in range(n_rounds):
+                    last = fn(q_dev)
+                last[0].block_until_ready()
+                qps = bulk_batch * n_rounds / (time.perf_counter() - t0)
+                log(
+                    "bench: ivf+refine nprobe=%d B=%d (bulk) qps/chip=%.0f"
+                    " (recall reused from B=%d: %.4f)",
+                    nprobe, bulk_batch, qps, flat_batch, prior[2],
+                )
+                with _state_lock:
+                    _state["results"].append((
+                        f"ivf+refine nprobe={nprobe} B={bulk_batch} (bulk)",
+                        qps, prior[2],
+                    ))
+                emit_headline()
+            except Exception as e:
+                log("bench: bulk nprobe=%d B=%d failed: %s",
+                    nprobe, bulk_batch, e)
+
     packed_dev = layout.PackedVectors(*[jnp.asarray(a) for a in packed])
 
     # Flat + exact-f32 refine of the coarse top-32, fused into one jitted
