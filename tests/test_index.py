@@ -434,3 +434,74 @@ class TestFrozenBuckets:
         extra_v, extra_packed, _ = make_corpus(10, seed=9)
         idx2 = idx.insert(extra_packed, np.arange(900, 910, dtype=np.int64))
         assert idx2.spill.live == 0  # room in the buckets
+
+
+class TestSearchOOMRetry:
+    """ivf.search halves its dispatch chunk on out-of-memory compile
+    failures (the static transient budget can't see actual free HBM —
+    a 10M nprobe=64 blockexact compile measured 8.6 MB over the edge);
+    non-OOM failures must surface immediately, not burn 3 more tunnel
+    compiles."""
+
+    def _index(self):
+        v, centers = make_clustered()
+        packed = layout.pack_float(v)
+        ids = np.arange(1, len(v) + 1, dtype=np.int64)
+        return IVFIndex.build(packed, ids, centers), v
+
+    def test_oom_halves_chunk_and_succeeds(self, monkeypatch):
+        import vectorsearch_tpu.index.ivf as ivfmod
+
+        ivf, v = self._index()
+        q = np.random.default_rng(3).normal(size=(8, 64)).astype(np.float32)
+        want_s, want_i = ivf.search(q, k=5, nprobe=2, refine=10)
+
+        real = ivfmod._scan_refined
+        calls = {"n": 0}
+
+        def flaky(*a, **kw):
+            calls["n"] += 1
+            if calls["n"] <= 2:
+                raise RuntimeError(
+                    "RESOURCE_EXHAUSTED: Ran out of memory in memory "
+                    "space hbm. Used 15.76G of 15.75G hbm."
+                )
+            return real(*a, **kw)
+
+        monkeypatch.setattr(ivfmod, "_scan_refined", flaky)
+        s, i = ivf.search(q, k=5, nprobe=2, refine=10)
+        # two failed attempts -> b_max halved twice -> chunked dispatch
+        assert calls["n"] >= 3
+        np.testing.assert_array_equal(i, want_i)
+        np.testing.assert_allclose(s, want_s, atol=1e-5)
+
+    def test_non_oom_raises_immediately(self, monkeypatch):
+        import vectorsearch_tpu.index.ivf as ivfmod
+
+        ivf, v = self._index()
+        q = np.random.default_rng(3).normal(size=(8, 64)).astype(np.float32)
+        calls = {"n": 0}
+
+        def bad(*a, **kw):
+            calls["n"] += 1
+            raise RuntimeError("Mosaic lowering failed: bad layout")
+
+        monkeypatch.setattr(ivfmod, "_scan_refined", bad)
+        with pytest.raises(RuntimeError, match="Mosaic"):
+            ivf.search(q, k=5, nprobe=2, refine=10)
+        assert calls["n"] == 1
+
+    def test_oom_exhausts_attempts_and_raises(self, monkeypatch):
+        import vectorsearch_tpu.index.ivf as ivfmod
+
+        ivf, v = self._index()
+        q = np.random.default_rng(3).normal(size=(8, 64)).astype(np.float32)
+        calls = {"n": 0}
+
+        def always_oom(*a, **kw):
+            calls["n"] += 1
+            raise RuntimeError("Ran out of memory in memory space hbm")
+
+        monkeypatch.setattr(ivfmod, "_scan_refined", always_oom)
+        with pytest.raises(RuntimeError, match="out of memory"):
+            ivf.search(q, k=5, nprobe=2, refine=10)

@@ -543,16 +543,45 @@ class IVFIndex:
                 self.bucket_mask, nprobe=nprobe, k=k_coarse,
             )
 
-        if queries.shape[0] > b_max:
-            parts = [
-                one(queries[i : i + b_max])
-                for i in range(0, queries.shape[0], b_max)
-            ]
-            scores = jnp.concatenate([p[0] for p in parts], axis=0)
-            gslot = jnp.concatenate([p[1] for p in parts], axis=0)
-        else:
-            scores, gslot = one(queries)
-        scores, gslot = jax.device_get((scores, gslot))  # one transfer
+        def dispatch(bm):
+            if queries.shape[0] > bm:
+                parts = [
+                    one(queries[i : i + bm])
+                    for i in range(0, queries.shape[0], bm)
+                ]
+                s = jnp.concatenate([p[0] for p in parts], axis=0)
+                g = jnp.concatenate([p[1] for p in parts], axis=0)
+            else:
+                s, g = one(queries)
+            return jax.device_get((s, g))  # one transfer
+
+        # The static transient model above can't see actual free HBM (a
+        # 15.5 GB resident store leaves ~250 MB of slack the 2 GB budget
+        # knows nothing about — a 10M nprobe=64 blockexact compile
+        # measured 8.6 MB over the edge). On an out-of-memory compile,
+        # halve the chunk and retry: bounded at 3 halvings so a
+        # deterministic non-OOM compile failure still surfaces instead
+        # of burning 30-120 s tunnel compiles per halving.
+        b_max = max(1, min(b_max, int(queries.shape[0])))
+        for attempt in range(4):
+            try:
+                scores, gslot = dispatch(b_max)
+                break
+            except Exception as e:  # noqa: BLE001 — inspect and re-raise
+                msg = str(e)
+                oomish = any(t in msg for t in (
+                    "RESOURCE_EXHAUSTED", "Ran out of memory",
+                    "out of memory", "hbm", "remote_compile",
+                ))
+                if attempt == 3 or b_max <= 1 or not oomish:
+                    raise
+                b_max = max(1, b_max // 2)
+                from ..logger import sugar
+
+                sugar().warning(
+                    "ivf.search: dispatch failed (%s...); retrying with "
+                    "halved chunk b_max=%d", msg[:120], b_max,
+                )
         flat_ids = self.ids.reshape(-1)
         safe = np.clip(gslot, 0, flat_ids.size - 1)
         out_ids = np.where(np.isneginf(scores), -1, flat_ids[safe])
