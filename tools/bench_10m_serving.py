@@ -211,20 +211,28 @@ def main():
             label, recall, qps, batch)
         results.append((label, qps, recall))
 
-    for nprobe, batch in ((1, 512), (8, 512), (64, 128)):
-        try:
-            measure(
-                f"ivf+refine nprobe={nprobe}",
-                lambda q, np_=nprobe: _scan_refined(
-                    q, ivf.centroids_n, ivf.buckets, ivf.counts_dev,
-                    ivf.bucket_mask, nprobe=np_, k_coarse=32, k=TOPK,
-                    use_pallas=use_pallas,
-                ),
-                batch,
-                lambda idx: flat_ids[np.clip(idx, 0, flat_ids.size - 1)],
-            )
-        except Exception as e:
-            log("serve10m: nprobe=%d failed: %s", nprobe, e)
+    # nprobe=64 lists a fallback batch: at the HBM limit the blockexact
+    # auto epilogue's extra buffers (block maxima + candidate slab) can
+    # push a B=128 compile ~9 MB past the 15.75 GB edge (the engine path
+    # handles this with ivf.search's OOM-halving retry; this tool calls
+    # _scan_refined directly, so it falls back explicitly)
+    for nprobe, batches in ((1, (512,)), (8, (512,)), (64, (128, 64))):
+        for batch in batches:
+            try:
+                measure(
+                    f"ivf+refine nprobe={nprobe}"
+                    + (f" B={batch}" if batch != batches[0] else ""),
+                    lambda q, np_=nprobe: _scan_refined(
+                        q, ivf.centroids_n, ivf.buckets, ivf.counts_dev,
+                        ivf.bucket_mask, nprobe=np_, k_coarse=32, k=TOPK,
+                        use_pallas=use_pallas,
+                    ),
+                    batch,
+                    lambda idx: flat_ids[np.clip(idx, 0, flat_ids.size - 1)],
+                )
+                break
+            except Exception as e:
+                log("serve10m: nprobe=%d B=%d failed: %s", nprobe, batch, e)
 
     # ---- large-batch amortization points (nprobe=1) ----
     # Bigger batches share bucket reads across more DISTINCT queries
