@@ -505,3 +505,30 @@ class TestSearchOOMRetry:
         monkeypatch.setattr(ivfmod, "_scan_refined", always_oom)
         with pytest.raises(RuntimeError, match="out of memory"):
             ivf.search(q, k=5, nprobe=2, refine=10)
+
+    def test_oom_fallback_policy(self):
+        """Pure decision table for the OOM retry (engine behavior at the
+        HBM edge, see ivf._oom_fallback)."""
+        from vectorsearch_tpu.index.ivf import _oom_fallback
+
+        # auto policy resolving to blockexact (nprobe*cap > 32768)
+        # -> downgrade to flat/exact at the SAME batch
+        act, epi, apx, bm = _oom_fallback(True, 64, 5120, "auto", True, 128)
+        assert (act, epi, apx, bm) == ("downgrade", "flat", False, 128)
+        # explicit blockexact override downgrades too
+        act, epi, apx, bm = _oom_fallback(
+            True, 64, 5120, "blockexact", False, 128
+        )
+        assert (act, epi, apx) == ("downgrade", "flat", False)
+        # flat (below the crossover) -> halve
+        act, epi, apx, bm = _oom_fallback(True, 8, 3072, "auto", True, 128)
+        assert (act, bm) == ("halve", 64)
+        # after a downgrade (epilogue already flat) -> halve
+        act, epi, apx, bm = _oom_fallback(True, 64, 5120, "flat", False, 128)
+        assert (act, bm) == ("halve", 64)
+        # XLA path (no pallas) -> halve straight away
+        act, epi, apx, bm = _oom_fallback(False, 64, 5120, "auto", True, 128)
+        assert (act, bm) == ("halve", 64)
+        # exhausted -> raise
+        act, *_ = _oom_fallback(False, 64, 5120, None, True, 1)
+        assert act == "raise"

@@ -222,6 +222,33 @@ def _scan_refined(
     return cosine.rescore_topk(queries, flat_view, scores, gslot, k)
 
 
+def _oom_fallback(pallas_refined, nprobe, cap, cur_epi, cur_apx, b_max):
+    """Next step after an out-of-memory dispatch (pure, unit-tested).
+
+    Returns (action, epilogue, approx, b_max) with action in
+    {"downgrade", "halve", "raise"}. Downgrade fires once, when the
+    effective epilogue is blockexact: its extra buffers (block maxima +
+    candidate slab) are exactly the marginal allocation at the HBM
+    edge, and flat/exact at full batch beats blockexact at a halved
+    one (10M nprobe=64: flat B=128 served 3.4k QPS in r4; blockexact
+    only fit at B=64 and measured 2.2k). approx must drop with the
+    downgrade — flat/approx at nprobe>1 loses 0.2-2.6pt recall
+    (position-binned approx_max_k collides same-cluster winners)."""
+    eff = None
+    if pallas_refined:
+        if cur_epi in (None, "auto"):
+            from ..kernels.pallas_scan import resolve_auto_epilogue
+
+            eff = resolve_auto_epilogue(nprobe, cap, cur_apx)[0]
+        else:
+            eff = cur_epi
+    if eff == "blockexact":
+        return "downgrade", "flat", False, b_max
+    if b_max <= 1:
+        return "raise", cur_epi, cur_apx, b_max
+    return "halve", cur_epi, cur_apx, max(1, b_max // 2)
+
+
 @functools.partial(
     jax.jit, static_argnames=("k_coarse", "k", "chunk", "approx", "refine")
 )
@@ -523,49 +550,56 @@ class IVFIndex:
             bytes_per_q = nprobe * self.cap * (3 * self.dim + 16)
             b_max = max(1, budget // max(1, bytes_per_q))
 
-        def one(qs):
+        def one(qs, epi, apx):
             if exhaustive:
                 return _exhaustive_refined(
                     qs, self.buckets, self.bucket_mask,
                     k_coarse=k_coarse, k=k if refine else k_coarse,
-                    approx=approx_epi, refine=bool(refine),
+                    approx=apx, refine=bool(refine),
                 )
             if refine:
                 # single fused program: scan + exact-f32 re-rank
                 return _scan_refined(
                     qs, self.centroids_n, self.buckets, self.counts_dev,
                     self.bucket_mask, nprobe=nprobe, k_coarse=k_coarse, k=k,
-                    use_pallas=use_pallas, approx=approx_epi,
-                    qt_max=qt_max, epilogue=epilogue, approx_wide=approx_wide,
+                    use_pallas=use_pallas, approx=apx,
+                    qt_max=qt_max, epilogue=epi, approx_wide=approx_wide,
                 )
             return _scan_impl()(
                 qs, self.centroids_n, self.buckets, self.counts_dev,
                 self.bucket_mask, nprobe=nprobe, k=k_coarse,
             )
 
-        def dispatch(bm):
+        def dispatch(bm, epi, apx):
             if queries.shape[0] > bm:
                 parts = [
-                    one(queries[i : i + bm])
+                    one(queries[i : i + bm], epi, apx)
                     for i in range(0, queries.shape[0], bm)
                 ]
                 s = jnp.concatenate([p[0] for p in parts], axis=0)
                 g = jnp.concatenate([p[1] for p in parts], axis=0)
             else:
-                s, g = one(queries)
+                s, g = one(queries, epi, apx)
             return jax.device_get((s, g))  # one transfer
 
         # The static transient model above can't see actual free HBM (a
         # 15.5 GB resident store leaves ~250 MB of slack the 2 GB budget
         # knows nothing about — a 10M nprobe=64 blockexact compile
-        # measured 8.6 MB over the edge). On an out-of-memory compile,
-        # halve the chunk and retry: bounded at 3 halvings so a
-        # deterministic non-OOM compile failure still surfaces instead
-        # of burning 30-120 s tunnel compiles per halving.
+        # measured 8.6 MB over the edge). On an out-of-memory compile:
+        # 1) if the auto policy resolved to blockexact, downgrade to the
+        #    flat/exact epilogue at the SAME batch first — blockexact's
+        #    extra buffers (block maxima + candidate slab) are exactly
+        #    the marginal allocation, and flat at full batch beats
+        #    blockexact at a halved one (10M nprobe=64: flat B=128 was
+        #    3.4k QPS in r4; blockexact B=64 measured 2.2k);
+        # 2) then halve the chunk, bounded at 3 halvings so a
+        #    deterministic non-OOM compile failure still surfaces
+        #    instead of burning 30-120 s tunnel compiles per halving.
         b_max = max(1, min(b_max, int(queries.shape[0])))
+        cur_epi, cur_apx = epilogue, approx_epi
         for attempt in range(4):
             try:
-                scores, gslot = dispatch(b_max)
+                scores, gslot = dispatch(b_max, cur_epi, cur_apx)
                 break
             except Exception as e:  # noqa: BLE001 — inspect and re-raise
                 msg = str(e)
@@ -573,14 +607,22 @@ class IVFIndex:
                     "RESOURCE_EXHAUSTED", "Ran out of memory",
                     "out of memory", "hbm", "remote_compile",
                 ))
-                if attempt == 3 or b_max <= 1 or not oomish:
+                if attempt == 3 or not oomish:
                     raise
-                b_max = max(1, b_max // 2)
                 from ..logger import sugar
 
+                action, cur_epi, cur_apx, b_max = _oom_fallback(
+                    use_pallas and not exhaustive and bool(refine),
+                    nprobe, self.cap, cur_epi, cur_apx, b_max,
+                )
+                if action == "raise":
+                    raise
                 sugar().warning(
                     "ivf.search: dispatch failed (%s...); retrying with "
-                    "halved chunk b_max=%d", msg[:120], b_max,
+                    "%s", msg[:120],
+                    "the flat/exact epilogue at the same batch"
+                    if action == "downgrade"
+                    else f"halved chunk b_max={b_max}",
                 )
         flat_ids = self.ids.reshape(-1)
         safe = np.clip(gslot, 0, flat_ids.size - 1)
