@@ -73,9 +73,16 @@ def main():
             use_pallas=use_pallas,
         )
 
+    batches = tuple(int(b) for b in os.environ.get(
+        "VSTPU_SWEEP_BATCHES", "512,1024,2048,4096"
+    ).split(","))
+    nprobes = tuple(int(p) for p in os.environ.get(
+        "VSTPU_SWEEP_NPROBES", "1,2"
+    ).split(","))
+
     # distinct timing-query pool: dequantized sampled rows + noise
     rng = np.random.default_rng(7)
-    max_b = 4096
+    max_b = max(batches)
     pool_idx = rng.choice(N, size=max_b, replace=False)
     from vectorsearch_tpu.quant import layout
 
@@ -88,7 +95,7 @@ def main():
     ).astype(np.float32)
 
     nq = len(queries)
-    for nprobe in (1, 2):
+    for nprobe in nprobes:
         fn = scan(nprobe)
         # recall once per nprobe (untiled queries)
         _, idx = fn(jnp.asarray(queries))
@@ -98,7 +105,7 @@ def main():
             for i in range(nq)
         ]))
         log("batchsweep: nprobe=%d recall@10=%.4f", nprobe, recall)
-        for batch in (512, 1024, 2048, 4096):
+        for batch in batches:
             q_dev = jnp.asarray(q_pool[:batch])
             out = fn(q_dev)
             jax.block_until_ready(out)  # compile + warm
