@@ -396,11 +396,23 @@ def main():
     # Recall is batch-invariant (identical program), reused from the
     # B=512 row of the same nprobe; headline picker takes the max, so
     # a losing point is recorded but harmless.
-    bulk_batch = int(os.environ.get("VSTPU_BENCH_BULK_BATCH", 2048))
-    if bulk_batch > 0:
+    # tools/r5_batch_sweep.py measured the scaling curve (ROUND5.md §10):
+    # nprobe=1 climbs 112k -> 375k QPS from B=512 to B=16384, nprobe=2
+    # 73k -> 207k at the 0.9672 floor. Record the knee (4096) and the
+    # best measured point (16384); biggest-first so a deadline cut still
+    # leaves the top number on stdout.
+    bulk_batches = [
+        int(b)
+        for b in os.environ.get(
+            "VSTPU_BENCH_BULK_BATCH", "16384,4096"
+        ).split(",")
+        if 0 < int(b) <= N  # the pool samples N corpus rows w/o replacement
+    ]
+    if bulk_batches:
         set_phase("measure:bulk")
+        max_bulk = max(bulk_batches)
         rng2 = np.random.default_rng(7)
-        pool_idx = rng2.choice(N, size=bulk_batch, replace=False)
+        pool_idx = rng2.choice(N, size=max_bulk, replace=False)
         base2 = (
             np.asarray(packed.offset)[pool_idx, None]
             + np.asarray(packed.scale)[pool_idx, None]
@@ -408,7 +420,7 @@ def main():
         )
         q_pool = (
             base2
-            + rng2.normal(size=(bulk_batch, DIM)).astype(np.float32) * 0.1
+            + rng2.normal(size=(max_bulk, DIM)).astype(np.float32) * 0.1
         ).astype(np.float32)
         for nprobe in (1, 2):
             with _state_lock:
@@ -418,34 +430,35 @@ def main():
                 )
             if prior is None:
                 continue
-            try:
-                fn = lambda q, np_=nprobe: _scan_refined(  # noqa: E731
-                    q, ivf.centroids_n, ivf.buckets, ivf.counts_dev,
-                    ivf.bucket_mask, nprobe=np_, k_coarse=32, k=TOPK,
-                    use_pallas=use_pallas,
-                )
-                q_dev = jnp.asarray(q_pool)
-                fn(q_dev)[0].block_until_ready()
-                t0 = time.perf_counter()
-                last = None
-                for _ in range(n_rounds):
-                    last = fn(q_dev)
-                last[0].block_until_ready()
-                qps = bulk_batch * n_rounds / (time.perf_counter() - t0)
-                log(
-                    "bench: ivf+refine nprobe=%d B=%d (bulk) qps/chip=%.0f"
-                    " (recall reused from B=%d: %.4f)",
-                    nprobe, bulk_batch, qps, flat_batch, prior[2],
-                )
-                with _state_lock:
-                    _state["results"].append((
-                        f"ivf+refine nprobe={nprobe} B={bulk_batch} (bulk)",
-                        qps, prior[2],
-                    ))
-                emit_headline()
-            except Exception as e:
-                log("bench: bulk nprobe=%d B=%d failed: %s",
-                    nprobe, bulk_batch, e)
+            fn = lambda q, np_=nprobe: _scan_refined(  # noqa: E731
+                q, ivf.centroids_n, ivf.buckets, ivf.counts_dev,
+                ivf.bucket_mask, nprobe=np_, k_coarse=32, k=TOPK,
+                use_pallas=use_pallas,
+            )
+            for bulk_batch in sorted(bulk_batches, reverse=True):
+                try:
+                    q_dev = jnp.asarray(q_pool[:bulk_batch])
+                    fn(q_dev)[0].block_until_ready()
+                    t0 = time.perf_counter()
+                    last = None
+                    for _ in range(n_rounds):
+                        last = fn(q_dev)
+                    last[0].block_until_ready()
+                    qps = bulk_batch * n_rounds / (time.perf_counter() - t0)
+                    log(
+                        "bench: ivf+refine nprobe=%d B=%d (bulk) qps/chip=%.0f"
+                        " (recall reused from B=%d: %.4f)",
+                        nprobe, bulk_batch, qps, flat_batch, prior[2],
+                    )
+                    with _state_lock:
+                        _state["results"].append((
+                            f"ivf+refine nprobe={nprobe} B={bulk_batch} (bulk)",
+                            qps, prior[2],
+                        ))
+                    emit_headline()
+                except Exception as e:
+                    log("bench: bulk nprobe=%d B=%d failed: %s",
+                        nprobe, bulk_batch, e)
 
     packed_dev = layout.PackedVectors(*[jnp.asarray(a) for a in packed])
 
