@@ -247,16 +247,20 @@ def main():
     np1 = next((r for r in results if "nprobe=1" in r[0]), None)
     if np1 is not None:
         rng2 = np.random.default_rng(7)
-        pool_idx = rng2.choice(N, size=2048, replace=False)
+        pool_max = int(os.environ.get("VSTPU_SERVE10M_BULK_MAX", 8192))
+        pool_idx = rng2.choice(N, size=pool_max, replace=False)
         base2 = (
             packed.offset[pool_idx, None]
             + packed.scale[pool_idx, None]
             * packed.codes[pool_idx].astype(np.float32)
         )
         q_pool = (
-            base2 + rng2.normal(size=(2048, DIM)).astype(np.float32) * 0.1
+            base2 + rng2.normal(size=(pool_max, DIM)).astype(np.float32) * 0.1
         ).astype(np.float32)
-        for batch in (1024, 2048):
+        # each doubling adds ~2*B*cap*4 bytes of score grid (~42 MB per
+        # 1024 queries at cap=5120); 8192 is ~335 MB over B=512 — inside
+        # the slack next to the 15.5 GB codes, and a failure just logs
+        for batch in (2048, 4096, min(8192, pool_max)):
             try:
                 fn = lambda q: _scan_refined(  # noqa: E731
                     q, ivf.centroids_n, ivf.buckets, ivf.counts_dev,
