@@ -402,16 +402,25 @@ def main():
     # Record the best measured point (65536) with 16384 as the fallback;
     # biggest-first so a deadline cut still leaves the top number on
     # stdout, and an OOM at the big point falls through to the safe one.
-    bulk_batches = [
+    # Per-nprobe batch caps: the grouped kernel's score grid grows with
+    # B*nprobe*cap, so high nprobe must cap B lower (biggest-first with
+    # try/except means an OOM just falls through to the safe point).
+    # nprobe=64 at B>=1024 is the VERDICT r4 "done" bar (>=35k QPS at the
+    # recall floor): B=512 blockexact lands ~33k, batching clears it.
+    base_bulk = [
         int(b)
         for b in os.environ.get(
             "VSTPU_BENCH_BULK_BATCH", "65536,16384"
         ).split(",")
         if 0 < int(b) <= N  # the pool samples N corpus rows w/o replacement
     ]
-    if bulk_batches:
+    bulk_plan = {1: base_bulk, 2: base_bulk}
+    if NPROBE not in bulk_plan:
+        bulk_plan[NPROBE] = [b for b in (8192, 4096) if b <= N]
+    bulk_plan.setdefault(64, [b for b in (2048, 1024) if b <= N])
+    if base_bulk:
         set_phase("measure:bulk")
-        max_bulk = max(bulk_batches)
+        max_bulk = max(max(v) for v in bulk_plan.values())
         rng2 = np.random.default_rng(7)
         pool_idx = rng2.choice(N, size=max_bulk, replace=False)
         base2 = (
@@ -423,20 +432,20 @@ def main():
             base2
             + rng2.normal(size=(max_bulk, DIM)).astype(np.float32) * 0.1
         ).astype(np.float32)
-        for nprobe in (1, 2):
+        for nprobe, nprobe_bulk in sorted(bulk_plan.items()):
             with _state_lock:
                 prior = next(
                     (r for r in _state["results"]
                      if r[0] == f"ivf+refine nprobe={nprobe}"), None,
                 )
-            if prior is None:
+            if prior is None or not nprobe_bulk:
                 continue
             fn = lambda q, np_=nprobe: _scan_refined(  # noqa: E731
                 q, ivf.centroids_n, ivf.buckets, ivf.counts_dev,
                 ivf.bucket_mask, nprobe=np_, k_coarse=32, k=TOPK,
                 use_pallas=use_pallas,
             )
-            for bulk_batch in sorted(bulk_batches, reverse=True):
+            for bulk_batch in sorted(set(nprobe_bulk), reverse=True):
                 try:
                     q_dev = jnp.asarray(q_pool[:bulk_batch])
                     fn(q_dev)[0].block_until_ready()
