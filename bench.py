@@ -432,7 +432,15 @@ def main():
             base2
             + rng2.normal(size=(max_bulk, DIM)).astype(np.float32) * 0.1
         ).astype(np.float32)
-        for nprobe, nprobe_bulk in sorted(bulk_plan.items()):
+        # Priority order, not sorted: nprobe=1/2 carry the headline and
+        # nprobe=64's points are compile-cache-warm (measured in-session,
+        # ROUND5.md §10); nprobe=8's bulk shapes are the only cold
+        # compiles (30-120s each through the tunnel), so they go LAST —
+        # a deadline cut mid-compile then costs nothing already measured.
+        bulk_order = [p for p in (1, 2, 64) if p in bulk_plan]
+        bulk_order += [p for p in bulk_plan if p not in bulk_order]
+        for nprobe in bulk_order:
+            nprobe_bulk = bulk_plan[nprobe]
             with _state_lock:
                 prior = next(
                     (r for r in _state["results"]
