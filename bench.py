@@ -44,7 +44,13 @@ K_CLUSTERS = int(os.environ.get("VSTPU_BENCH_K", 1024))
 N_QUERIES = int(os.environ.get("VSTPU_BENCH_QUERIES", 512))
 BATCH = int(os.environ.get("VSTPU_BENCH_BATCH", 128))
 NPROBE = int(os.environ.get("VSTPU_BENCH_NPROBE", 8))
-DEADLINE_S = float(os.environ.get("VSTPU_BENCH_DEADLINE", 1800))
+# 2700 s: the tunnel's late-session first-D2H stall alone reached >25 min
+# in r5 (CLAUDE.md), which would have eaten a 1800 s budget whole. The
+# driver's own timeout demonstrably exceeds ~25 min of runtime (BENCH_r03
+# tail spans >=25 min before its rc=124), and every path here — watchdog,
+# SIGTERM handler, per-measurement re-emission — leaves the best-so-far
+# JSON line on stdout even if the outer timeout fires first.
+DEADLINE_S = float(os.environ.get("VSTPU_BENCH_DEADLINE", 2700))
 FULL = os.environ.get("VSTPU_BENCH_FULL") == "1"
 TOPK = 10
 CACHE = os.path.join(
