@@ -426,7 +426,10 @@ def main():
     bulk_plan.setdefault(64, [b for b in (2048, 1024) if b <= N])
     if base_bulk:
         set_phase("measure:bulk")
-        max_bulk = max(max(v) for v in bulk_plan.values())
+        # per-nprobe lists can be EMPTY at small N (every default filtered
+        # by b <= N) — flatten before max; base_bulk being non-empty
+        # guarantees at least bulk_plan[1] contributes.
+        max_bulk = max(b for v in bulk_plan.values() for b in v)
         rng2 = np.random.default_rng(7)
         pool_idx = rng2.choice(N, size=max_bulk, replace=False)
         base2 = (
