@@ -418,7 +418,9 @@ def main():
         for b in os.environ.get(
             "VSTPU_BENCH_BULK_BATCH", "65536,16384"
         ).split(",")
-        if 0 < int(b) <= N  # the pool samples N corpus rows w/o replacement
+        # blank segments let "" disable the phase; the pool samples N
+        # corpus rows without replacement, so b must not exceed N
+        if b.strip() and 0 < int(b) <= N
     ]
     bulk_plan = {1: base_bulk, 2: base_bulk}
     if NPROBE not in bulk_plan:
