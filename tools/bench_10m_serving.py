@@ -260,7 +260,9 @@ def main():
         # each doubling adds ~2*B*cap*4 bytes of score grid (~42 MB per
         # 1024 queries at cap=5120); 8192 is ~335 MB over B=512 — inside
         # the slack next to the 15.5 GB codes, and a failure just logs
-        for batch in (2048, 4096, min(8192, pool_max)):
+        # filter, don't clamp: q_pool[:b] past pool_max would silently
+        # dispatch fewer rows than the QPS math divides by
+        for batch in sorted({b for b in (2048, 4096, 8192) if b <= pool_max}):
             try:
                 fn = lambda q: _scan_refined(  # noqa: E731
                     q, ivf.centroids_n, ivf.buckets, ivf.counts_dev,
